@@ -1,0 +1,120 @@
+"""Batched PushWorld dynamics under jit/vmap.
+
+The reference computes one transition with a pushing-frontier BFS over
+hash-set collision maps (reference: python3/src/pushworld/puzzle.py:348-394,
+cpp/src/pushworld_puzzle.cc:386-460).  Here the same semantics become a
+fixed-shape tensor program so thousands of states advance in lockstep:
+
+1. gather the "who-pushes-whom" boolean matrix ``M[i, j]`` from the
+   precomputed ``push`` table at the current relative offsets,
+2. compute the set of transitively pushed movables as a boolean transitive
+   closure from the agent (log2(N) squaring steps — data-independent),
+3. apply the all-or-nothing transitive-stopping rule: nothing moves if the
+   agent is statically blocked or any pushed movable would hit a wall,
+4. advance every pushed movable by the action displacement.
+
+Equivalence with the reference's early-exit BFS: the reference returns the
+unchanged state as soon as *some* transitively pushed movable is wall-blocked;
+computing the full closure first and then testing "any pushed movable blocked"
+accepts/rejects exactly the same transitions.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pushworld_tpu.core.compiled import CompiledPuzzle
+
+DISPLACEMENTS = jnp.array([(-1, 0), (1, 0), (0, -1), (0, 1)], jnp.int32)
+
+
+def _push_matrix(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
+    """(N, N) bool: does movable i push movable j under ``action``?"""
+    N, delta = cp.n, cp.delta
+    K = 2 * delta + 1
+    rel = state[:, None, :] - state[None, :, :]  # (N, N, 2) pos_i - pos_j
+    in_range = jnp.all(jnp.abs(rel) <= delta, axis=-1)
+    idx = jnp.clip(rel + delta, 0, K - 1)
+    table = cp.push[action]  # (N, N, K, K)
+    ii = jnp.arange(N)[:, None]
+    jj = jnp.arange(N)[None, :]
+    m = table[ii, jj, idx[..., 1], idx[..., 0]]
+    mask = cp.obj_mask[:, None] & cp.obj_mask[None, :]
+    return m & in_range & mask
+
+
+def _transitive_pushed(push_matrix: jax.Array, n: int) -> jax.Array:
+    """(N,) bool: movables reachable from the agent via the push relation."""
+    reach = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    m = push_matrix.astype(jnp.float32)
+    r = reach.astype(jnp.float32)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        r = jnp.minimum(1.0, r + r @ m)
+        m = jnp.minimum(1.0, m + m @ m)
+    return r > 0.5
+
+
+@partial(jax.jit, static_argnames=())
+def step(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
+    """One exact transition.  ``state``: (N, 2) int32; ``action``: scalar int32.
+
+    Returns the next state (N, 2) int32.
+    """
+    x = state[..., 0]
+    y = state[..., 1]
+    idx = jnp.arange(cp.n)
+    blocked_static = cp.static_block[action, idx, y, x]  # (N,)
+
+    m = _push_matrix(cp, state, action)
+    pushed = _transitive_pushed(m, cp.n)  # includes the agent
+
+    movable_blocked = jnp.any(pushed[1:] & blocked_static[1:])
+    nothing_moves = blocked_static[0] | movable_blocked
+
+    moved = pushed & ~nothing_moves & cp.obj_mask
+    disp = DISPLACEMENTS[action]
+    return state + disp[None, :] * moved[:, None].astype(jnp.int32)
+
+
+# vmap over a batch of states of the same puzzle.
+step_batch = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
+
+# vmap over a batch of puzzles (same bucket shape), one state + action each.
+step_puzzles = jax.jit(jax.vmap(step, in_axes=(0, 0, 0)))
+
+
+def count_achieved_goals(cp: CompiledPuzzle, state: jax.Array) -> jax.Array:
+    """Number of goal movables at their goal positions.  reference:
+    puzzle.py:396-407."""
+    at_goal = jnp.all(state == cp.goal_pos, axis=-1) & cp.goal_mask
+    return jnp.sum(at_goal, axis=-1)
+
+
+def is_goal_state(cp: CompiledPuzzle, state: jax.Array) -> jax.Array:
+    at_goal = jnp.all(state == cp.goal_pos, axis=-1) | ~cp.goal_mask
+    return jnp.all(at_goal, axis=-1)
+
+
+def moved_mask(prev_state: jax.Array, next_state: jax.Array) -> jax.Array:
+    """(N,) bool: which movables changed position."""
+    return jnp.any(prev_state != next_state, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("return_states",))
+def run_plan(cp: CompiledPuzzle, actions: jax.Array, return_states: bool = False):
+    """Applies a fixed-length action sequence from the initial state.
+
+    ``actions``: (T,) int32.  Returns the final state, and the (T+1, N, 2)
+    trajectory when ``return_states``.
+    """
+    def body(state, action):
+        nxt = step(cp, state, action)
+        return nxt, (nxt if return_states else None)
+
+    init = jnp.asarray(cp.init_state)
+    final, traj = jax.lax.scan(body, init, actions)
+    if return_states:
+        return final, jnp.concatenate([init[None], traj], axis=0)
+    return final

@@ -1,0 +1,188 @@
+"""Environment contract tests: VectorEnv, Gym, dm_env wrappers.
+
+Mirrors the reference env test strategy (reference: python3/test/test_gym_env.py,
+test_dm_env.py): observation within space and consistent with render, reward
+schedule incl. goal deltas and -0.01 step cost, termination vs truncation,
+reset determinism.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pushworld_tpu.core.compiled import compile_batch, compile_puzzle
+from pushworld_tpu.core.puzzle import Actions, Puzzle
+
+L, R, U, D = range(4)
+
+
+# ------------------------------------------------------------------ VectorEnv
+
+
+def test_vector_env_reward_semantics(puzzles_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.vector_env import VectorEnv
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, "simple.pwp"))
+    cp = compile_puzzle(puzzle)
+    env = VectorEnv(cp, max_steps=5)
+    state = env.reset(jax.random.PRNGKey(0), batch_size=4)
+
+    # Step R: no goal change => -0.01.
+    state, obs, reward, term, trunc = env.step(state, jnp.full((4,), R, jnp.int32))
+    np.testing.assert_allclose(np.asarray(reward), -0.01)
+    assert not np.asarray(term).any() and not np.asarray(trunc).any()
+
+    # Second R reaches the goal => +10 and terminated; auto-reset occurs.
+    state, obs, reward, term, trunc = env.step(state, jnp.full((4,), R, jnp.int32))
+    np.testing.assert_allclose(np.asarray(reward), 10.0)
+    assert np.asarray(term).all()
+    np.testing.assert_array_equal(
+        np.asarray(state.positions), np.broadcast_to(cp.init_state, (4, cp.n, 2))
+    )
+    assert (np.asarray(state.steps) == 0).all()
+
+
+def test_vector_env_goal_delta_reward(puzzles_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.vector_env import VectorEnv
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, "multi_goal.pwp"))
+    cp = compile_puzzle(puzzle)
+    env = VectorEnv(cp)
+    state = env.reset(jax.random.PRNGKey(0), batch_size=2)
+
+    # D, R, U achieves goal 0 (of 2): reward = +1 - 0.01 on the U step.
+    for a, expected in [(D, -0.01), (R, -0.01), (U, 0.99)]:
+        state, obs, reward, term, trunc = env.step(
+            state, jnp.full((2,), a, jnp.int32)
+        )
+        np.testing.assert_allclose(np.asarray(reward), expected, atol=1e-6)
+        assert not np.asarray(term).any()
+
+    # Pushing m0 further up is blocked by the border wall: plain step cost.
+    state, obs, reward, term, trunc = env.step(state, jnp.full((2,), U, jnp.int32))
+    np.testing.assert_allclose(np.asarray(reward), -0.01, atol=1e-6)
+
+    # Walk around (L, then U) and push the goal object off its goal (R):
+    # reward = -1 - 0.01.
+    for a, expected in [(L, -0.01), (U, -0.01), (R, -1.01)]:
+        state, obs, reward, term, trunc = env.step(
+            state, jnp.full((2,), a, jnp.int32)
+        )
+        np.testing.assert_allclose(np.asarray(reward), expected, atol=1e-6)
+
+
+def test_vector_env_truncation(puzzles_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.vector_env import VectorEnv
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    cp = compile_puzzle(puzzle)
+    env = VectorEnv(cp, max_steps=3)
+    state = env.reset(jax.random.PRNGKey(0), batch_size=2)
+    for t in range(3):
+        state, obs, reward, term, trunc = env.step(
+            state, jnp.full((2,), U, jnp.int32)
+        )
+        assert not np.asarray(term).any()
+        assert np.asarray(trunc).all() == (t == 2)
+    assert (np.asarray(state.steps) == 0).all()  # auto-reset after truncation
+
+
+def test_vector_env_multi_puzzle_rollout(puzzles_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.vector_env import VectorEnv
+
+    puzzles = [
+        Puzzle.from_file(os.path.join(puzzles_dir, n + ".pwp"))
+        for n in ["simple", "chain", "push_left"]
+    ]
+    cp = compile_batch(puzzles)
+    env = VectorEnv(cp, max_steps=20)
+
+    def random_policy(rng, positions):
+        return jax.random.randint(rng, (positions.shape[0],), 0, 4)
+
+    final_state, (rewards, terms) = env.rollout(
+        jax.random.PRNGKey(7), random_policy, batch_size=64, horizon=50
+    )
+    assert rewards.shape == (50, 64)
+    # Sanity: rollouts sample multiple distinct puzzles.
+    assert len(np.unique(np.asarray(final_state.puzzle_idx))) > 1
+
+
+# ------------------------------------------------------------------ Gym
+
+def test_gym_env_contract(puzzles_dir):
+    gym = pytest.importorskip("gymnasium", reason="gymnasium not installed")
+    from pushworld_tpu.envs.gym_env import PushWorldEnv
+
+    env = PushWorldEnv(
+        os.path.join(puzzles_dir, "simple.pwp"), max_steps=4, pixels_per_cell=8
+    )
+    obs, info = env.reset()
+    assert env.observation_space.contains(obs)
+    assert obs.dtype == np.float32 and obs.min() >= 0.0 and obs.max() <= 1.0
+    np.testing.assert_allclose(
+        obs, env.render().astype(np.float32) / 255, atol=1e-6
+    )
+
+    obs, reward, term, trunc, info = env.step(R)
+    assert reward == pytest.approx(-0.01)
+    assert not term and not trunc
+    obs, reward, term, trunc, info = env.step(R)
+    assert reward == pytest.approx(10.0)
+    assert term and not trunc
+    assert env.render().dtype == np.uint8
+
+    with pytest.raises(ValueError):
+        env.step(17)
+
+
+def test_gym_env_truncation_and_reset_determinism(puzzles_dir):
+    pytest.importorskip("gymnasium", reason="gymnasium not installed")
+    from pushworld_tpu.envs.gym_env import PushWorldEnv
+
+    env = PushWorldEnv(puzzles_dir, max_steps=2, pixels_per_cell=8)
+    env.reset(seed=5)
+    seq1 = [env._current_puzzle for _ in range(6) if env.reset() is not None]
+    env.reset(seed=5)
+    seq2 = [env._current_puzzle for _ in range(6) if env.reset() is not None]
+    assert seq1 == seq2
+    assert len(set(id(p) for p in seq1)) > 1  # samples multiple puzzles
+
+    obs, _ = env.reset()
+    _, _, term, trunc, _ = env.step(U)
+    _, _, term, trunc, _ = env.step(D)
+    assert trunc or term  # truncated at max_steps (or solved)
+
+
+# ------------------------------------------------------------------ dm_env
+
+def test_dm_env_contract(puzzles_dir):
+    dm_env = pytest.importorskip("dm_env", reason="dm_env not installed")
+    from pushworld_tpu.envs.dm_env_impl import PushWorldEnv
+
+    env = PushWorldEnv(
+        os.path.join(puzzles_dir, "simple.pwp"), max_steps=4, pixels_per_cell=8
+    )
+    ts = env.reset()
+    assert ts.first()
+    env.observation_spec().validate(ts.observation)
+
+    ts = env.step(R)
+    assert ts.mid() and ts.reward == pytest.approx(-0.01)
+    ts = env.step(R)
+    assert ts.last() and ts.reward == pytest.approx(10.0)
+    # render returns float32/255 (reference: dm_env.py:244-251).
+    assert env.render().dtype == np.float32
