@@ -1,0 +1,199 @@
+"""Feasible-movement reachability and graph distances as tensor fixpoints.
+
+Device-side re-derivation of the reference's feasible movement graphs and
+path distances (reference: cpp/src/heuristics/domain_transition_graph.cc):
+
+- :func:`build_reachability` — the mutual fixpoint "object o can make move
+  (p -> p+d_a) iff p is reachable, the move is not statically blocked, and
+  some other object has a feasible transition that pushes o" becomes a
+  Jacobi iteration over dense boolean tensors.  The pusher-support term is a
+  2-D convolution: with transitions ``E[q, a]`` as input channels and the
+  pairwise push tables as (pushee, pusher, K, K) kernels, one conv per
+  action computes "is any feasible pusher transition in contact" for every
+  pushee and position — this rides the MXU.
+- :func:`goal_distance_field` / :func:`all_pairs_distances` — BFS distances
+  on the movement graphs become wavefront relaxations (shifted boolean
+  min-plus steps under ``lax.while_loop``), replacing the reference's lazy
+  incremental BFS objects (domain_transition_graph.cc:218-300).
+
+All functions take a single (unbatched) :class:`CompiledPuzzle`.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pushworld_tpu.core.compiled import CompiledPuzzle
+
+# Displacements indexed by action: (dx, dy).
+DISPLACEMENTS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+INF = jnp.float32(1e9)
+
+
+def _shift2d(x: jax.Array, dx: int, dy: int, fill=False) -> jax.Array:
+    """Shifts the last two axes (y, x) of ``x`` so that
+    out[..., y, x] = x[..., y + dy, x + dx] (out-of-range -> fill)."""
+    H, W = x.shape[-2], x.shape[-1]
+    out = x
+    if dy:
+        out = jnp.roll(out, -dy, axis=-2)
+        if dy > 0:
+            out = out.at[..., H - dy :, :].set(fill)
+        else:
+            out = out.at[..., : -dy, :].set(fill)
+    if dx:
+        out = jnp.roll(out, -dx, axis=-1)
+        if dx > 0:
+            out = out.at[..., :, W - dx :].set(fill)
+        else:
+            out = out.at[..., :, : -dx].set(fill)
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def build_reachability(cp: CompiledPuzzle, max_iters: int = 512):
+    """Computes the feasible-movement fixpoint.
+
+    Returns:
+        E: bool (4, N, H, W) — E[a, o, y, x]: the transition of object o at
+           (x, y) one cell in direction a is feasible.
+        reached: bool (N, H, W) — position is reachable for the object.
+    """
+    N, H, W = cp.n, cp.height, cp.width
+    sb = jnp.asarray(cp.static_block)  # (4, N, H, W)
+    push = jnp.asarray(cp.push)  # (4, N, N, K, K) [a, pusher, pushee]
+    K = push.shape[-1]
+    delta = cp.delta
+
+    init_onehot = jnp.zeros((N, H, W), jnp.bool_)
+    init_onehot = init_onehot.at[
+        jnp.arange(N), cp.init_state[:, 1], cp.init_state[:, 0]
+    ].set(jnp.asarray(cp.obj_mask))
+
+    obj_mask = jnp.asarray(cp.obj_mask)
+
+    # Conv kernels: for each action a, kernel[o, q, ky, kx] = push[a, q, o,
+    # delta + ry, delta + rx] where the pusher sits at pushee_pos + (rx, ry).
+    # pushed_support[o, a, p] = OR_{q, rel} push[a, q, o, rel] & E[q, a, p+rel]
+    # = conv2d(E[:, a], kernel[a]) with input channels q, output channels o.
+    # Cross-correlation orientation: out[o, y, x] = sum_{q, ky, kx}
+    # in[q, y + ky - delta, x + kx - delta] * w[o, q, ky, kx].
+    kernels = jnp.transpose(push, (0, 3, 4, 1, 2))  # (4, K, K, q, o) temp
+    kernels = jnp.transpose(kernels, (0, 4, 3, 1, 2))  # (4, o, q, K, K)
+    kernels_f = kernels.astype(jnp.float32)
+
+    dn = jax.lax.conv_dimension_numbers((N, N, H, W), (N, N, K, K), ("NCHW", "OIHW", "NCHW"))
+
+    def pushed_support(E):
+        # E: (4, N, H, W) bool.  For each action, conv over channels.
+        def one_action(E_a, k_a):
+            out = jax.lax.conv_general_dilated(
+                E_a.astype(jnp.float32)[None],  # (1, q, H, W)
+                k_a,  # (o, q, K, K)
+                window_strides=(1, 1),
+                padding=[(delta, delta), (delta, delta)],
+                dimension_numbers=dn,
+            )[0]
+            return out > 0.5
+        return jax.vmap(one_action)(E, kernels_f)  # (4, N, H, W)
+
+    def step_fixpoint(carry):
+        E, reached, _ = carry
+        support = pushed_support(E)
+        # Agent (object 0) needs no pusher.
+        support = support.at[:, 0].set(True)
+        E_new = reached[None] & ~sb & support
+        E_new = E_new & obj_mask[None, :, None, None]
+        # reached grows by transition endpoints.
+        arrive = reached
+        for a, (dx, dy) in enumerate(DISPLACEMENTS):
+            arrive = arrive | _shift2d(E_new[a], -dx, -dy)
+        changed = jnp.any(E_new != E) | jnp.any(arrive != reached)
+        return E_new, arrive, changed
+
+    def cond(carry):
+        return carry[2]
+
+    def body(carry):
+        E, reached, _ = carry
+        return step_fixpoint((E, reached, False))
+
+    E0 = jnp.zeros((4, N, H, W), jnp.bool_)
+    carry = (E0, init_onehot, jnp.bool_(True))
+    E, reached, _ = jax.lax.while_loop(cond, body, carry)
+    return E, reached
+
+
+def _conv_orientation_note():
+    """Kernel orientation: pushed_support[o, a, (x, y)] must OR over
+    E[q, a, (x + rx, y + ry)] & push[a, q, o, delta + ry, delta + rx].
+    ``conv_general_dilated`` with OIHW kernels computes a correlation with
+    kernel index (ky, kx) mapping to input offset (ky - delta, kx - delta),
+    so kernel[o, q, ky, kx] = push[a, q, o, ky, kx] directly."""
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def distance_to_targets(
+    E_o: jax.Array, targets: jax.Array, max_iters: int = 4096
+) -> jax.Array:
+    """Distance field d[p] = graph distance from p to the target set along
+    edges p -> p + d_a (present iff E_o[a, p]).
+
+    Args:
+        E_o: bool (4, H, W) — feasible transitions of one object.
+        targets: bool (H, W) — target positions (distance 0).
+
+    Returns:
+        float32 (H, W); unreachable = INF (1e9).
+    """
+    H, W = targets.shape
+
+    def body(carry):
+        d, _ = carry
+        best = d
+        for a, (dx, dy) in enumerate(DISPLACEMENTS):
+            # moving from p to p + d_a costs 1.
+            cand = jnp.where(E_o[a], _shift2d(d, dx, dy, fill=INF) + 1.0, INF)
+            best = jnp.minimum(best, cand)
+        return best, jnp.any(best != d)
+
+    d0 = jnp.where(targets, 0.0, INF)
+    d, _ = jax.lax.while_loop(lambda c: c[1], lambda c: body((c[0], False)), (d0, jnp.bool_(True)))
+    return d
+
+
+@partial(jax.jit, static_argnames=())
+def all_pairs_distances(E_o: jax.Array) -> jax.Array:
+    """All-pairs distances D[s, t] = dist(s -> t) over one object's movement
+    graph, as a wavefront sweep batched over target columns.
+
+    Returns float32 (H*W, H*W); unreachable pairs = INF.
+
+    Memory note: (H*W)^2 floats — ~26 MB at the benchmark maximum grid; used
+    per-puzzle, not per-batch.
+    """
+    H, W = E_o.shape[-2:]
+    HW = H * W
+
+    # R[t, p] = dist(p -> t) computed as a relaxation: dist(p) =
+    # 1 + min_a dist(p + d_a) over feasible transitions; all targets batched.
+    eye = jnp.eye(HW, dtype=jnp.float32)
+    d0 = jnp.where(eye > 0, 0.0, INF).reshape(HW, H, W)  # [t, y, x]
+
+    def body(carry):
+        d, _ = carry
+        best = d
+        for a, (dx, dy) in enumerate(DISPLACEMENTS):
+            cand = jnp.where(E_o[a][None], _shift2d(d, dx, dy, fill=INF) + 1.0, INF)
+            best = jnp.minimum(best, cand)
+        return best, jnp.any(best != d)
+
+    d, _ = jax.lax.while_loop(
+        lambda c: c[1], lambda c: body((c[0], False)), (d0, jnp.bool_(True))
+    )
+    # d[t, y, x] = dist((x, y) -> t).  Return D[s, t].
+    return jnp.transpose(d.reshape(HW, HW))

@@ -1,0 +1,323 @@
+"""Batched Recursive Graph Distance heuristic.
+
+Evaluates the RGD heuristic (reference: cpp/src/heuristics/
+recursive_graph_distance.cc:43-252) for a whole batch of states of one
+puzzle in lockstep.  The recursion over pusher chains becomes, per pushing
+depth, a tensorized min over (pusher, contact offset, pusher-next-direction)
+triples using precomputed structures:
+
+- ``E[a, o, y, x]`` — feasible transitions (from :mod:`pushworld_tpu.ops.graphs`),
+- ``D[o]`` — all-pairs graph distances per object,
+- ``DG[o]`` — distance-to-goal fields for goal objects,
+- compacted contact-offset lists per (action, pusher, pushee).
+
+``fewest_tools`` semantics (the planner default, reference:
+recursive_graph_distance.cc:101-112) are reproduced per state per goal
+object: the cost at the smallest pushing depth with a finite value, trying
+depths 0..max_depth.  ``max_depth`` is a static compile-time bound (2 covers
+the published benchmark; the host oracle in
+:mod:`pushworld_tpu.search.heuristics_host` has no depth bound).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pushworld_tpu.core.compiled import CompiledPuzzle
+from pushworld_tpu.core.puzzle import Puzzle
+from pushworld_tpu.ops.graphs import (
+    all_pairs_distances,
+    build_reachability,
+    distance_to_targets,
+)
+
+INF = jnp.float32(1e9)
+FINITE_THRESHOLD = 1e8
+
+DISPLACEMENTS_NP = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], np.int32)
+
+
+@dataclass(frozen=True)
+class RGDTables:
+    """Precomputed per-puzzle tensors for batched RGD evaluation."""
+
+    E: jax.Array  # bool (4, N, H, W)
+    D: jax.Array  # f32 (N, HW, HW) all-pairs distances per object
+    DG: jax.Array  # f32 (N, H, W) distance-to-goal fields (goal rows only)
+    contacts: jax.Array  # int32 (4, N, N, C, 2) rel offsets (rx, ry)
+    contacts_mask: jax.Array  # bool (4, N, N, C)
+    goal_pos: jax.Array  # int32 (N, 2)
+    goal_mask: jax.Array  # bool (N,)
+    # static
+    n: int
+    n_real: int
+    num_goals: int
+    height: int
+    width: int
+    cmax: int
+
+
+jax.tree_util.register_dataclass(
+    RGDTables,
+    data_fields=["E", "D", "DG", "contacts", "contacts_mask", "goal_pos", "goal_mask"],
+    meta_fields=["n", "n_real", "num_goals", "height", "width", "cmax"],
+)
+
+
+def build_rgd_tables(puzzle: Puzzle, cp: CompiledPuzzle) -> RGDTables:
+    """Builds all precomputed tensors (one-time per puzzle)."""
+    E, _ = build_reachability(cp)
+    N, H, W = cp.n, cp.height, cp.width
+
+    D = jnp.stack([all_pairs_distances(E[:, o]) for o in range(N)])
+
+    DG_list = []
+    for o in range(N):
+        k = o - 1
+        if 0 <= k < puzzle.num_goals:
+            g = puzzle.goal_state[k]
+            targets = jnp.zeros((H, W), bool).at[g[1], g[0]].set(True)
+            DG_list.append(distance_to_targets(E[:, o], targets))
+        else:
+            DG_list.append(jnp.full((H, W), INF))
+    DG = jnp.stack(DG_list)
+
+    # Compact contact offsets from the dense push tables.
+    push = np.asarray(cp.push)  # (4, pusher, pushee, K, K)
+    delta = cp.delta
+    counts = push.reshape(4, N, N, -1).sum(-1)
+    cmax = max(1, int(counts.max()))
+    contacts = np.zeros((4, N, N, cmax, 2), np.int32)
+    contacts_mask = np.zeros((4, N, N, cmax), bool)
+    for a in range(4):
+        for q in range(N):
+            for o in range(N):
+                ys, xs = np.nonzero(push[a, q, o])
+                m = len(ys)
+                if m:
+                    contacts[a, q, o, :m, 0] = xs - delta
+                    contacts[a, q, o, :m, 1] = ys - delta
+                    contacts_mask[a, q, o, :m] = True
+
+    return RGDTables(
+        E=E,
+        D=D,
+        DG=DG,
+        contacts=jnp.asarray(contacts),
+        contacts_mask=jnp.asarray(contacts_mask),
+        goal_pos=jnp.asarray(cp.goal_pos),
+        goal_mask=jnp.asarray(cp.goal_mask),
+        n=N,
+        n_real=puzzle.num_movables,
+        num_goals=puzzle.num_goals,
+        height=H,
+        width=W,
+        cmax=cmax,
+    )
+
+
+def _flat(t: RGDTables, pos: jax.Array) -> jax.Array:
+    """(..., 2) int position -> flat index y*W + x."""
+    return pos[..., 1] * t.width + pos[..., 0]
+
+
+def _gather_E(t: RGDTables, a, o, pos):
+    """E[a, o, pos] with bounds masking.  a/o/pos broadcast together."""
+    x = pos[..., 0]
+    y = pos[..., 1]
+    ok = (x >= 0) & (x < t.width) & (y >= 0) & (y < t.height)
+    xc = jnp.clip(x, 0, t.width - 1)
+    yc = jnp.clip(y, 0, t.height - 1)
+    return t.E[a, o, yc, xc] & ok
+
+
+def _agent_push_cost(t: RGDTables, states, o, a, p):
+    """Depth-0 pushing cost: the agent realizes pushee ``o``'s transition
+    p -> p + d_a.  Returns (B,) f32 (includes the +1 push action cost).
+
+    o, a: static ints; p: (B, 2).
+    """
+    A = states[:, 0, :]  # (B, 2) agent positions
+    rel = t.contacts[a, 0, o]  # (C, 2)
+    mask = t.contacts_mask[a, 0, o]  # (C,)
+    c = p[:, None, :] + rel[None, :, :]  # (B, C, 2)
+    feasible = _gather_E(t, a, 0, c) & mask[None, :]  # (B, C)
+    c_flat = jnp.clip(_flat(t, c), 0, t.width * t.height - 1)
+    A_flat = _flat(t, A)  # (B,)
+    dist = t.D[0][c_flat, A_flat[:, None]]  # (B, C) dist(c -> A)
+    # Agent graph edges are symmetric (adjacent valid placements), so
+    # dist(A -> c) == dist(c -> A); gathering by row c vectorizes better.
+    same = jnp.all(c == A[:, None, :], axis=-1)
+    v = jnp.where(same, 0.0, dist)
+    v = jnp.where(feasible, v, INF)
+    return 1.0 + jnp.min(v, axis=1)
+
+
+def _tool_push_cost(t: RGDTables, states, o, a, p, skip_mask, inner_cost_fn):
+    """Depth-d (d >= 1) pushing cost: some tool q (not skipped) realizes
+    pushee ``o``'s transition p -> p + d_a.
+
+    inner_cost_fn(q_axis_states, a_prime) -> (B, N, 4) costs of realizing
+    each candidate pusher q's own first transition Q -> Q + d_{a'} at depth
+    d-1 (with o added to the skip set by the caller).
+
+    Returns (B,) f32.
+    """
+    B = states.shape[0]
+    N = t.n
+    HW = t.width * t.height
+    d_a = jnp.asarray(DISPLACEMENTS_NP[a])
+
+    Q = states  # (B, N, 2) candidate pusher positions (per object)
+    rel = t.contacts[a, :, o]  # (N, C, 2) pusher q at pushee + rel
+    mask = t.contacts_mask[a, :, o]  # (N, C)
+    c = p[:, None, None, :] + rel[None, :, :, :]  # (B, N, C, 2)
+    q_idx = jnp.arange(N)[None, :, None]
+    feasible = _gather_E(t, a, q_idx, c) & mask[None]  # (B, N, C)
+
+    c_flat = jnp.clip(_flat(t, c), 0, HW - 1)  # (B, N, C)
+    Q_flat = _flat(t, Q)  # (B, N)
+
+    # Pusher next positions P' = Q + d_{a'} for each direction a'.
+    disp = jnp.asarray(DISPLACEMENTS_NP)  # (4, 2)
+    P_next = Q[:, :, None, :] + disp[None, None, :, :]  # (B, N, 4, 2)
+    next_ok = _gather_E(t, jnp.arange(4)[None, None, :], jnp.arange(N)[None, :, None], Q[:, :, None, :])
+    # next_ok: (B, N, 4) — E[a', q, Q]: q's transition in direction a' feasible.
+    P_next_flat = jnp.clip(_flat(t, P_next), 0, HW - 1)  # (B, N, 4)
+
+    # dist_q(P', c) for every (q, a', contact): gather from D[q].
+    # D: (N, HW, HW); indices: q, P'_flat (B,N,4,1), c_flat (B,N,1,C).
+    dist = t.D[jnp.arange(N)[None, :, None, None],
+               P_next_flat[:, :, :, None],
+               c_flat[:, :, None, :]]  # (B, N, 4, C)
+
+    # Simultaneous push: contact == Q and a' == a.
+    same_pos = jnp.all(c == Q[:, :, None, :], axis=-1)  # (B, N, C)
+    simultaneous = same_pos[:, :, None, :] & (jnp.arange(4)[None, None, :, None] == a)
+    base = jnp.where(simultaneous, 0.0, dist + 1.0)  # (B, N, 4, C)
+    base = jnp.where(feasible[:, :, None, :], base, INF)
+    base = jnp.where(next_ok[:, :, :, None], base, INF)
+    base_min = jnp.min(base, axis=3)  # (B, N, 4) best contact per (q, a')
+
+    inner = inner_cost_fn(Q, None)  # (B, N, 4): cost of q's move in dir a'
+
+    total = base_min + inner  # (B, N, 4)
+    # Valid pushers: movables 1..n_real-1, not the pushee, not skipped.
+    valid_q = (jnp.arange(N) >= 1) & (jnp.arange(N) < t.n_real) & (jnp.arange(N) != o)
+    valid_q = valid_q[None, :] & ~skip_mask  # (B, N)
+    total = jnp.where(valid_q[:, :, None], total, INF)
+    return jnp.min(total, axis=(1, 2))
+
+
+def _push_cost_all_dirs_depth0(t: RGDTables, states):
+    """(B, N, 4): depth-0 cost (agent pushes) of object q's transition
+    Q -> Q + d_{a'} for every movable q and direction a', where Q is q's
+    position in each state.  Feasibility of the transition itself is NOT
+    included (callers mask with E)."""
+    B, N = states.shape[0], t.n
+    HW = t.width * t.height
+    A = states[:, 0, :]
+    A_flat = _flat(t, A)
+
+    rel = t.contacts[:, 0, :, :, :]  # (4, N, C, 2) agent contacts per pushee
+    mask = t.contacts_mask[:, 0, :, :]  # (4, N, C)
+    Q = states  # (B, N, 2)
+    c = Q[:, None, :, None, :] + rel[None, :, :, :, :]  # (B, 4, N, C, 2)
+    a_idx = jnp.arange(4)[None, :, None, None]
+    feasible = _gather_E(t, a_idx, 0, c) & mask[None]  # (B, 4, N, C)
+    c_flat = jnp.clip(_flat(t, c), 0, HW - 1)
+    dist = t.D[0][c_flat, A_flat[:, None, None, None]]  # dist(c -> A) == dist(A -> c)
+    same = jnp.all(c == A[:, None, None, None, :], axis=-1)
+    v = jnp.where(same, 0.0, dist)
+    v = jnp.where(feasible, v, INF)
+    out = 1.0 + jnp.min(v, axis=3)  # (B, 4, N)
+    return jnp.transpose(out, (0, 2, 1))  # (B, N, 4)
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Array:
+    """Fewest-tools RGD estimate for a batch of states.
+
+    Args:
+        t: precomputed tables.
+        states: (B, N, 2) int32.
+        max_depth: maximum pushing depth (static; 0..2 supported).
+
+    Returns:
+        (B,) float32; unreachable goals yield values >= 1e9.
+    """
+    B = states.shape[0]
+    total = jnp.zeros((B,), jnp.float32)
+
+    for k in range(t.num_goals):
+        o = k + 1
+        p = states[:, o, :]  # (B, 2)
+        goal = t.goal_pos[o]
+        at_goal = jnp.all(p == goal[None, :], axis=-1)
+
+        per_depth: List[jax.Array] = []
+        for depth in range(min(max_depth, max(0, t.n_real - 2)) + 1):
+            cost_dirs = []
+            for a in range(4):
+                e_ok = _gather_E(t, a, o, p)  # (B,)
+                eff = p + DISPLACEMENTS_NP[a][None, :]
+                effc = jnp.stack(
+                    [jnp.clip(eff[:, 0], 0, t.width - 1), jnp.clip(eff[:, 1], 0, t.height - 1)],
+                    axis=-1,
+                )
+                goal_dist = t.DG[o, effc[:, 1], effc[:, 0]]
+                if depth == 0:
+                    pc = _agent_push_cost(t, states, o, a, p)
+                else:
+                    if depth == 1:
+                        def inner(Q, _):
+                            return _push_cost_all_dirs_depth0(t, states)
+                    else:  # depth == 2
+                        def inner(Q, _, _o=o):
+                            return _tool_push_cost_all_dirs_depth1(t, states, _o)
+                    skip = jnp.zeros((B, t.n), jnp.bool_)
+                    pc = _tool_push_cost(t, states, o, a, p, skip, inner)
+                cost_dirs.append(jnp.where(e_ok, goal_dist + pc, INF))
+            per_depth.append(jnp.minimum(
+                jnp.minimum(cost_dirs[0], cost_dirs[1]),
+                jnp.minimum(cost_dirs[2], cost_dirs[3]),
+            ))
+
+        # fewest tools: first finite depth.
+        cost = jnp.full((B,), INF)
+        for d_cost in per_depth:
+            cost = jnp.where(cost < FINITE_THRESHOLD, cost, d_cost)
+        cost = jnp.where(at_goal, 0.0, cost)
+        total = total + jnp.minimum(cost, INF)
+
+    return total
+
+
+def _tool_push_cost_all_dirs_depth1(t: RGDTables, states, skip_o: int):
+    """(B, N, 4): depth-1 cost of object q's transition Q -> Q + d_{a'}
+    (a second tool r pushes q; the agent pushes r), excluding pusher
+    ``skip_o`` from the candidate tools r (it is already in the chain)."""
+    B, N = states.shape[0], t.n
+    inner0 = _push_cost_all_dirs_depth0(t, states)  # (B, N, 4) for tools r
+
+    out = []
+    for a_prime in range(4):
+        costs_q = []
+        # For each candidate q, compute tool-push cost of its transition in
+        # direction a_prime, with skip set {skip_o, q}.
+        # Vectorize over q by reusing _tool_push_cost per q (N small).
+        for q in range(N):
+            skip = jnp.zeros((B, N), jnp.bool_).at[:, skip_o].set(True)
+
+            def inner(Qs, _):
+                return inner0
+
+            pq = states[:, q, :]
+            c = _tool_push_cost(t, states, q, a_prime, skip, inner)
+            costs_q.append(c)
+        out.append(jnp.stack(costs_q, axis=1))  # (B, N)
+    return jnp.stack(out, axis=2)  # (B, N, 4)
