@@ -1,0 +1,120 @@
+"""Batched width-based novelty heuristic with device-resident visited tables.
+
+Semantics follow the reference novelty heuristic (reference:
+cpp/src/heuristics/novelty.cc:30-77): novelty 1 if any *moved* object is at a
+never-seen position, 2 if any (moved object, other object) position pair is
+unseen, else 3; the visited structures absorb every evaluated state.
+
+Representation differences from the serial reference:
+
+- single-object visited positions are an exact dense table ``(N, H*W)``;
+- pair visits use a hashed bitset (open bitmap of ``2^pair_bits`` buckets)
+  instead of exact per-pair hash sets — a false positive can only *raise*
+  a state's novelty from 2 to 3 (slightly weaker search guidance, never
+  incorrect results);
+- states in one batch are scored against the tables as of the start of the
+  batch, then all their updates are applied at once (lockstep semantics),
+  whereas the reference scores strictly sequentially.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class NoveltyTables:
+    seen_pos: jax.Array  # bool (N, HW)
+    seen_pairs: jax.Array  # bool (2**pair_bits,)
+    # static
+    n: int
+    width: int
+    height: int
+    pair_bits: int
+
+
+jax.tree_util.register_dataclass(
+    NoveltyTables,
+    data_fields=["seen_pos", "seen_pairs"],
+    meta_fields=["n", "width", "height", "pair_bits"],
+)
+
+
+def init_novelty(n: int, height: int, width: int, pair_bits: int = 24) -> NoveltyTables:
+    return NoveltyTables(
+        seen_pos=jnp.zeros((n, height * width), jnp.bool_),
+        seen_pairs=jnp.zeros((2 ** pair_bits,), jnp.bool_),
+        n=n,
+        width=width,
+        height=height,
+        pair_bits=pair_bits,
+    )
+
+
+def _pair_hash(i, j, pi, pj, bits):
+    """Deterministic mix of (object pair, positions) into a bucket index."""
+    h = (i.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) ^ (
+        j.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    h = h ^ (pi.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (pj.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+    h = h * jnp.uint32(0x165667B1)
+    h = h ^ (h >> 15)
+    return (h & jnp.uint32(2 ** bits - 1)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def novelty_score_and_update(
+    t: NoveltyTables,
+    states: jax.Array,  # (B, N, 2) int32
+    moved: jax.Array,  # (B, N) bool — which objects moved into this state
+    valid: jax.Array,  # (B,) bool — score/absorb only valid entries
+) -> Tuple[jax.Array, NoveltyTables]:
+    """Returns ((B,) float32 novelty in {1, 2, 3}, updated tables)."""
+    B, N = states.shape[0], t.n
+    flat = states[..., 1] * t.width + states[..., 0]  # (B, N)
+    flat = jnp.clip(flat, 0, t.height * t.width - 1)
+
+    # --- novelty 1: moved object at unseen position.
+    pos_seen = t.seen_pos[jnp.arange(N)[None, :], flat]  # (B, N)
+    nov1 = jnp.any(moved & ~pos_seen, axis=1)
+
+    # --- novelty 2: (moved i, any j != i) unseen position pair, keyed with
+    # the smaller object index first (reference: novelty.cc:47-73).
+    ii = jnp.arange(N)[:, None]
+    jj = jnp.arange(N)[None, :]
+    lo = jnp.minimum(ii, jj)
+    hi = jnp.maximum(ii, jj)
+    p_lo = flat[:, lo]  # (B, N, N)
+    p_hi = flat[:, hi]
+    buckets = _pair_hash(
+        jnp.broadcast_to(lo, (B, N, N)),
+        jnp.broadcast_to(hi, (B, N, N)),
+        p_lo,
+        p_hi,
+        t.pair_bits,
+    )
+    pair_seen = t.seen_pairs[buckets]  # (B, N, N)
+    pair_active = moved[:, :, None] & (ii != jj)[None]  # pairs with i moved
+    nov2 = jnp.any(pair_active & ~pair_seen, axis=(1, 2))
+
+    novelty = jnp.where(nov1, 1.0, jnp.where(nov2, 2.0, 3.0))
+
+    # --- absorb: mark positions of moved objects and active pairs seen.
+    upd_mask = moved & valid[:, None]
+    seen_pos = t.seen_pos.at[jnp.arange(N)[None, :], flat].max(upd_mask)
+    pair_upd = pair_active & valid[:, None, None]
+    seen_pairs = t.seen_pairs.at[buckets.reshape(-1)].max(pair_upd.reshape(-1))
+
+    new_t = NoveltyTables(
+        seen_pos=seen_pos,
+        seen_pairs=seen_pairs,
+        n=t.n,
+        width=t.width,
+        height=t.height,
+        pair_bits=t.pair_bits,
+    )
+    return jnp.where(valid, novelty, 3.0), new_t

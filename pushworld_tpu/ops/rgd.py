@@ -52,10 +52,10 @@ class RGDTables:
     contacts_mask: jax.Array  # bool (4, N, N, C)
     goal_pos: jax.Array  # int32 (N, 2)
     goal_mask: jax.Array  # bool (N,)
-    # static
+    n_real: jax.Array  # int32 scalar — actual number of movables
+    # static (bucket-shape metadata; shared across puzzles in a bucket)
     n: int
-    n_real: int
-    num_goals: int
+    max_goals: int
     height: int
     width: int
     cmax: int
@@ -63,13 +63,23 @@ class RGDTables:
 
 jax.tree_util.register_dataclass(
     RGDTables,
-    data_fields=["E", "D", "DG", "contacts", "contacts_mask", "goal_pos", "goal_mask"],
-    meta_fields=["n", "n_real", "num_goals", "height", "width", "cmax"],
+    data_fields=[
+        "E", "D", "DG", "contacts", "contacts_mask", "goal_pos", "goal_mask", "n_real",
+    ],
+    meta_fields=["n", "max_goals", "height", "width", "cmax"],
 )
 
 
-def build_rgd_tables(puzzle: Puzzle, cp: CompiledPuzzle) -> RGDTables:
-    """Builds all precomputed tensors (one-time per puzzle)."""
+def build_rgd_tables(
+    puzzle: Puzzle,
+    cp: CompiledPuzzle,
+    cmax_pad: Optional[int] = None,
+    max_goals: Optional[int] = None,
+) -> RGDTables:
+    """Builds all precomputed tensors (one-time per puzzle).
+
+    ``cmax_pad`` / ``max_goals`` pad the contact lists and goal loop bound to
+    a bucket-wide value so puzzles in one bucket share compiled kernels."""
     E, _ = build_reachability(cp)
     N, H, W = cp.n, cp.height, cp.width
 
@@ -91,6 +101,10 @@ def build_rgd_tables(puzzle: Puzzle, cp: CompiledPuzzle) -> RGDTables:
     delta = cp.delta
     counts = push.reshape(4, N, N, -1).sum(-1)
     cmax = max(1, int(counts.max()))
+    if cmax_pad is not None:
+        if cmax_pad < cmax:
+            raise ValueError(f"cmax_pad={cmax_pad} < required {cmax}")
+        cmax = cmax_pad
     contacts = np.zeros((4, N, N, cmax, 2), np.int32)
     contacts_mask = np.zeros((4, N, N, cmax), bool)
     for a in range(4):
@@ -111,9 +125,9 @@ def build_rgd_tables(puzzle: Puzzle, cp: CompiledPuzzle) -> RGDTables:
         contacts_mask=jnp.asarray(contacts_mask),
         goal_pos=jnp.asarray(cp.goal_pos),
         goal_mask=jnp.asarray(cp.goal_mask),
+        n_real=jnp.int32(puzzle.num_movables),
         n=N,
-        n_real=puzzle.num_movables,
-        num_goals=puzzle.num_goals,
+        max_goals=max_goals if max_goals is not None else puzzle.num_goals,
         height=H,
         width=W,
         cmax=cmax,
@@ -253,14 +267,14 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
     B = states.shape[0]
     total = jnp.zeros((B,), jnp.float32)
 
-    for k in range(t.num_goals):
+    for k in range(t.max_goals):
         o = k + 1
         p = states[:, o, :]  # (B, 2)
         goal = t.goal_pos[o]
         at_goal = jnp.all(p == goal[None, :], axis=-1)
 
         per_depth: List[jax.Array] = []
-        for depth in range(min(max_depth, max(0, t.n_real - 2)) + 1):
+        for depth in range(max_depth + 1):
             cost_dirs = []
             for a in range(4):
                 e_ok = _gather_E(t, a, o, p)  # (B,)
@@ -287,12 +301,16 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
                 jnp.minimum(cost_dirs[2], cost_dirs[3]),
             ))
 
-        # fewest tools: first finite depth.
+        # fewest tools: first finite depth (depths beyond n_real - 2 are
+        # invalid for this puzzle — reference iterates depth < n - 1).
         cost = jnp.full((B,), INF)
-        for d_cost in per_depth:
+        for d, d_cost in enumerate(per_depth):
+            d_cost = jnp.where(d <= t.n_real - 2, d_cost, INF)
             cost = jnp.where(cost < FINITE_THRESHOLD, cost, d_cost)
         cost = jnp.where(at_goal, 0.0, cost)
-        total = total + jnp.minimum(cost, INF)
+        # Objects without a goal contribute nothing.
+        cost = jnp.where(t.goal_mask[o], jnp.minimum(cost, INF), 0.0)
+        total = total + cost
 
     return total
 
@@ -317,7 +335,7 @@ def _tool_push_cost_all_dirs_depth1(t: RGDTables, states, skip_o: int):
                 return inner0
 
             pq = states[:, q, :]
-            c = _tool_push_cost(t, states, q, a_prime, skip, inner)
+            c = _tool_push_cost(t, states, q, a_prime, pq, skip, inner)
             costs_q.append(c)
         out.append(jnp.stack(costs_q, axis=1))  # (B, N)
     return jnp.stack(out, axis=2)  # (B, N, 4)

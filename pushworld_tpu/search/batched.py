@@ -1,0 +1,359 @@
+"""Batched greedy best-first search on device.
+
+The planner-side replacement for the reference's serial best-first loop
+(reference: cpp/include/search/best_first_search.h:45-98): instead of popping
+one node from a Fibonacci heap, every iteration
+
+1. selects the ``expand`` lowest-priority frontier states (``lax.top_k``),
+2. expands all 4 actions of each with the batched dynamics kernel,
+3. fingerprints + deduplicates children against a device hash set,
+4. scores new children with batched novelty (lexicographically stacked,
+   weight 1e6 — reference: run_planner.cc:48-55) + fewest-tools RGD,
+5. merges children into the fixed-capacity frontier by partial sort,
+
+entirely inside one jitted while-loop.  Search *order* therefore differs
+from the reference (lockstep novelty, batch expansion), which is permitted:
+acceptance is valid plans within budget, not identical plans (reference
+validates but never compares plans, benchmark_rgd.py:107-113).
+
+Plans are reconstructed from a device-side history of (parent index, action)
+records — the reference re-simulates actions instead (search.cc:25-54).
+
+The while-loop runs in fixed-size chunks so the host can enforce wall-clock
+budgets between chunks.
+"""
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pushworld_tpu.core.compiled import CompiledPuzzle, compile_puzzle
+from pushworld_tpu.core.puzzle import Puzzle
+from pushworld_tpu.ops.hashset import (
+    HashSet,
+    dedup_batch,
+    fingerprint,
+    init_hashset,
+    probe_and_insert,
+)
+from pushworld_tpu.ops.novelty import NoveltyTables, init_novelty, novelty_score_and_update
+from pushworld_tpu.ops.rgd import FINITE_THRESHOLD, RGDTables, build_rgd_tables, rgd_heuristic
+from pushworld_tpu.ops.step import is_goal_state, step
+
+EMPTY = jnp.float32(3e30)
+NOVELTY_WEIGHT = 1e6
+
+
+from typing import NamedTuple
+
+
+class SearchConfig(NamedTuple):
+    """Static (compile-time) search configuration.  Puzzles compiled to the
+    same bucket shape + config share all jitted search kernels."""
+
+    expand: int = 256
+    history_capacity: int = 1 << 20
+    max_depth: int = 1
+    use_novelty: bool = True
+
+
+@dataclass(frozen=True)
+class SearchState:
+    frontier_states: jax.Array  # (F, N, 2) int32
+    frontier_h: jax.Array  # (F,) f32 (EMPTY = free slot)
+    frontier_hist: jax.Array  # (F,) int32
+    hist_parent: jax.Array  # (Hcap,) int32
+    hist_action: jax.Array  # (Hcap,) int32
+    hist_cursor: jax.Array  # int32 scalar
+    visited: HashSet
+    novelty: NoveltyTables
+    solved: jax.Array  # bool scalar
+    solved_hist: jax.Array  # int32 scalar
+    iterations: jax.Array  # int32 scalar
+    expansions: jax.Array  # int32 scalar
+
+
+jax.tree_util.register_dataclass(
+    SearchState,
+    data_fields=[
+        "frontier_states",
+        "frontier_h",
+        "frontier_hist",
+        "hist_parent",
+        "hist_action",
+        "hist_cursor",
+        "visited",
+        "novelty",
+        "solved",
+        "solved_hist",
+        "iterations",
+        "expansions",
+    ],
+    meta_fields=[],
+)
+
+
+class BatchedPlanner:
+    """Device planner for one compiled puzzle.
+
+    Args:
+        puzzle: host puzzle (for table construction and plan validation).
+        cp: compiled tensors (built if omitted).
+        expand: states expanded per iteration.
+        frontier_capacity: max frontier size (worst entries are dropped).
+        visited_bits: log2 capacity of the visited hash set.
+        history_capacity: max states retained for plan reconstruction.
+        max_depth: RGD pushing-depth bound (static).
+        use_novelty: lexicographic novelty stacking ("N+RGD" vs "RGD").
+    """
+
+    def __init__(
+        self,
+        puzzle: Puzzle,
+        cp: Optional[CompiledPuzzle] = None,
+        tables: Optional[RGDTables] = None,
+        expand: int = 256,
+        frontier_capacity: int = 1 << 15,
+        visited_bits: int = 20,
+        history_capacity: int = 1 << 20,
+        max_depth: int = 1,
+        use_novelty: bool = True,
+    ):
+        self.puzzle = puzzle
+        self.cp = cp if cp is not None else compile_puzzle(puzzle)
+        self.tables = tables if tables is not None else build_rgd_tables(puzzle, self.cp)
+        self.expand = expand
+        self.frontier_capacity = frontier_capacity
+        self.visited_bits = visited_bits
+        self.history_capacity = history_capacity
+        self.max_depth = max_depth
+        self.use_novelty = use_novelty
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self) -> SearchState:
+        cp, t = self.cp, self.tables
+        F, N = self.frontier_capacity, cp.n
+        init = jnp.asarray(cp.init_state)[None]  # (1, N, 2)
+
+        novelty = init_novelty(N, cp.height, cp.width)
+        visited = init_hashset(self.visited_bits)
+        lo, hi = fingerprint(init, cp.width)
+        _, visited = probe_and_insert(visited, lo, hi, jnp.ones((1,), bool))
+
+        moved = jnp.ones((1, N), bool) & jnp.asarray(cp.obj_mask)[None]
+        nov, novelty = novelty_score_and_update(
+            novelty, init, moved, jnp.ones((1,), bool)
+        )
+        h = rgd_heuristic(t, init, max_depth=self.max_depth)
+        if self.use_novelty:
+            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, jnp.float32(1e9))
+
+        frontier_states = jnp.zeros((F, N, 2), jnp.int32).at[0].set(init[0])
+        frontier_h = jnp.full((F,), EMPTY).at[0].set(h[0])
+        frontier_hist = jnp.zeros((F,), jnp.int32)
+
+        return SearchState(
+            frontier_states=frontier_states,
+            frontier_h=frontier_h,
+            frontier_hist=frontier_hist,
+            hist_parent=jnp.full((self.history_capacity,), -1, jnp.int32),
+            hist_action=jnp.full((self.history_capacity,), -1, jnp.int32),
+            hist_cursor=jnp.int32(1),
+            visited=visited,
+            novelty=novelty,
+            solved=jnp.asarray(
+                bool(self.puzzle.is_goal_state(self.puzzle.initial_state))
+            ),
+            solved_hist=jnp.int32(0),
+            iterations=jnp.int32(0),
+            expansions=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------- cfg
+
+    @property
+    def config(self) -> SearchConfig:
+        return SearchConfig(
+            expand=self.expand,
+            history_capacity=self.history_capacity,
+            max_depth=self.max_depth,
+            use_novelty=self.use_novelty,
+        )
+
+    # ----------------------------------------------------------------- solve
+
+    def solve(
+        self,
+        time_limit: Optional[float] = None,
+        max_expansions: Optional[int] = None,
+        chunk: int = 32,
+    ) -> Optional[List[int]]:
+        """Searches for a plan.  Returns the action list, None if the search
+        space is exhausted (no solution), or raises TimeoutError on budget
+        exhaustion."""
+        s = self.init_state()
+        if self.puzzle.is_goal_state(self.puzzle.initial_state):
+            return []
+        deadline = None if time_limit is None else time.monotonic() + time_limit
+        cfg = self.config
+
+        while True:
+            s = run_chunk(self.cp, self.tables, cfg, s, chunk)
+            if bool(s.solved):
+                break
+            exhausted = float(jnp.min(s.frontier_h)) >= float(EMPTY) * 0.5
+            if exhausted:
+                return None
+            if deadline is not None and time.monotonic() > deadline:
+                raise TimeoutError("time budget exhausted")
+            if max_expansions is not None and int(s.expansions) >= max_expansions:
+                raise TimeoutError("expansion budget exhausted")
+            if int(s.hist_cursor) >= self.history_capacity - 8 * self.expand:
+                raise TimeoutError("history capacity exhausted")
+
+        # Reconstruct the plan on host.
+        parent = np.asarray(s.hist_parent)
+        action = np.asarray(s.hist_action)
+        idx = int(s.solved_hist)
+        plan: List[int] = []
+        while idx > 0:
+            plan.append(int(action[idx]))
+            idx = int(parent[idx])
+        plan.reverse()
+        return plan
+
+
+def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
+        B, N = cfg.expand, cp.n
+        F = s.frontier_h.shape[0]
+
+        # 1. select the B best frontier entries.
+        neg, sel = jax.lax.top_k(-s.frontier_h, B)
+        sel_valid = -neg < EMPTY * 0.5  # occupied slots only
+        parents = s.frontier_states[sel]  # (B, N, 2)
+        parent_hist = s.frontier_hist[sel]  # (B,)
+        frontier_h = s.frontier_h.at[sel].set(EMPTY)
+
+        # 2. expand all 4 actions.
+        actions = jnp.tile(jnp.arange(4, dtype=jnp.int32)[:, None], (1, B)).reshape(-1)
+        par4 = jnp.tile(parents, (4, 1, 1))  # (4B, N, 2)
+        phist4 = jnp.tile(parent_hist, (4,))
+        pvalid4 = jnp.tile(sel_valid, (4,))
+        children = jax.vmap(step, in_axes=(None, 0, 0))(cp, par4, actions)
+        moved = jnp.any(children != par4, axis=-1)  # (4B, N)
+        effective = jnp.any(moved, axis=-1) & pvalid4  # no-op moves are dups
+
+        # 3. dedup.
+        lo, hi = fingerprint(children, cp.width)
+        uniq = dedup_batch(lo, hi, effective)
+        is_new, visited = probe_and_insert(s.visited, lo, hi, uniq)
+
+        # 4. history append for new children.
+        offs = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        hist_idx = jnp.where(is_new, s.hist_cursor + offs, 0)
+        write_idx = jnp.where(is_new, hist_idx, cfg.history_capacity - 1)
+        hist_parent = s.hist_parent.at[write_idx].set(
+            jnp.where(is_new, phist4, s.hist_parent[write_idx])
+        )
+        hist_action = s.hist_action.at[write_idx].set(
+            jnp.where(is_new, actions, s.hist_action[write_idx])
+        )
+        n_new = jnp.sum(is_new.astype(jnp.int32))
+        hist_cursor = jnp.minimum(
+            s.hist_cursor + n_new, cfg.history_capacity - 8
+        )
+
+        # 5. goal check (first solved child wins).
+        goal = jax.vmap(is_goal_state, in_axes=(None, 0))(cp, children) & is_new
+        any_goal = jnp.any(goal)
+        first_goal = jnp.argmax(goal)
+        solved = s.solved | any_goal
+        solved_hist = jnp.where(
+            s.solved, s.solved_hist, jnp.where(any_goal, hist_idx[first_goal], 0)
+        )
+
+        # 6. score new children.
+        nov, novelty = novelty_score_and_update(s.novelty, children, moved, is_new)
+        h = rgd_heuristic(t, children, max_depth=cfg.max_depth)
+        if cfg.use_novelty:
+            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, jnp.float32(1e9))
+        h = jnp.where(is_new, h, EMPTY)
+
+        # 7. merge into the frontier (keep the F best).
+        all_h = jnp.concatenate([frontier_h, h])
+        all_states = jnp.concatenate([s.frontier_states, children])
+        all_hist = jnp.concatenate([s.frontier_hist, hist_idx])
+        neg_top, keep = jax.lax.top_k(-all_h, F)
+        return SearchState(
+            frontier_states=all_states[keep],
+            frontier_h=-neg_top,
+            frontier_hist=all_hist[keep],
+            hist_parent=hist_parent,
+            hist_action=hist_action,
+            hist_cursor=hist_cursor,
+            visited=visited,
+            novelty=novelty,
+            solved=solved,
+            solved_hist=solved_hist,
+            iterations=s.iterations + 1,
+            expansions=s.expansions + jnp.sum(sel_valid.astype(jnp.int32)),
+        )
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def run_chunk(cp, tables, cfg: SearchConfig, s: SearchState, chunk: int = 32) -> SearchState:
+    """Runs up to ``chunk`` iterations (stops early on solve/exhaustion)."""
+
+    def cond(carry):
+        s, i = carry
+        exhausted = jnp.min(s.frontier_h) >= EMPTY * 0.5
+        hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
+        return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
+
+    def body(carry):
+        s, i = carry
+        return _iterate(cp, tables, cfg, s), i + 1
+
+    s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+    return s
+
+
+def solve_batched(
+    puzzle: Puzzle,
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = None,
+    max_depth: Optional[int] = None,
+    **kwargs,
+) -> Optional[List[int]]:
+    """One-call batched solve.  ``max_depth`` defaults to the fewest-tools
+    depth needed at the initial state (computed with the host oracle)."""
+    if max_depth is None:
+        max_depth = required_depth(puzzle)
+    planner = BatchedPlanner(
+        puzzle, max_depth=max_depth, use_novelty=(mode == "N+RGD"), **kwargs
+    )
+    return planner.solve(time_limit=time_limit)
+
+
+def required_depth(puzzle: Puzzle, cap: int = 2) -> int:
+    """Fewest-tools pushing depth needed at the initial state (host oracle),
+    capped; used to pick the static depth of the batched heuristic."""
+    from pushworld_tpu.search.heuristics_host import RecursiveGraphDistance
+
+    rgd = RecursiveGraphDistance(puzzle, fewest_tools=True)
+    state = puzzle.initial_state
+    worst = 0
+    for k in range(puzzle.num_goals):
+        for depth in range(cap + 1):
+            c = rgd._goal_cost(state, k + 1, puzzle.goal_state[k], depth)
+            if c != float("inf"):
+                worst = max(worst, depth)
+                break
+        else:
+            return cap
+    return worst

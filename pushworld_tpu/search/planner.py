@@ -1,0 +1,176 @@
+"""Top-level planning API: solve one puzzle or a whole benchmark set.
+
+Bucketing: the batched device planner's kernels are compiled per *bucket
+shape* (padded movable count, grid, contact radius, contact-list length,
+goal count, RGD depth).  Grouping puzzles into a small ladder of buckets
+amortizes compilation across the benchmark — the reference has no analog
+(its C++ planner re-precomputes per puzzle but has no compile step).
+"""
+
+import bisect
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
+from pushworld_tpu.core.puzzle import Puzzle
+
+# Pad ladders (next value >= requirement is chosen).
+_N_LADDER = [2, 3, 4, 6, 8, 12, 16, 20]
+_DIM_LADDER = [10, 14, 18, 24, 32, 42, 56]
+_DELTA_LADDER = [3, 5, 8, 12, 18, 26]
+_CMAX_LADDER = [4, 8, 16, 32, 64, 128, 256]
+
+
+def _pad(ladder: List[int], value: int) -> int:
+    i = bisect.bisect_left(ladder, value)
+    return ladder[i] if i < len(ladder) else value
+
+
+@dataclass
+class PlanResult:
+    plan: Optional[List[int]]
+    planning_time: float
+    failure_reason: Optional[str]  # None | "time limit" | "no solution" | ...
+    expansions: int = 0
+
+
+def bucket_key(puzzle: Puzzle, max_depth: int) -> Tuple[int, int, int, int, int]:
+    import numpy as np
+
+    from pushworld_tpu.core.compiled import compile_puzzle as _cpz
+
+    n = _pad(_N_LADDER, puzzle.num_movables)
+    h = _pad(_DIM_LADDER, puzzle.height)
+    w = _pad(_DIM_LADDER, puzzle.width)
+    d = _pad(_DELTA_LADDER, compute_delta(puzzle))
+    return (n, h, w, d, max_depth)
+
+
+def solve_puzzle(
+    puzzle: Puzzle,
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = None,
+    planner: str = "auto",
+    **kwargs,
+) -> PlanResult:
+    """Solves one puzzle, returning a :class:`PlanResult`.
+
+    planner: "batched" (device), "host" (serial oracle), or "auto"
+    (batched when an accelerator is present, host otherwise).
+    """
+    if planner == "auto":
+        import jax
+
+        planner = "batched" if jax.default_backend() != "cpu" else "host"
+
+    t0 = time.monotonic()
+    try:
+        if planner == "host":
+            from pushworld_tpu.search.host_planner import solve_host
+
+            plan = solve_host(puzzle, mode=mode, time_limit=time_limit)
+        else:
+            from pushworld_tpu.search.batched import solve_batched
+
+            plan = solve_batched(puzzle, mode=mode, time_limit=time_limit, **kwargs)
+    except TimeoutError:
+        return PlanResult(None, time.monotonic() - t0, "time limit")
+    except MemoryError:
+        return PlanResult(None, time.monotonic() - t0, "memory error")
+    dt = time.monotonic() - t0
+
+    if plan is None:
+        return PlanResult(None, dt, "no solution")
+    if not puzzle.is_valid_plan(plan) and plan != []:
+        return PlanResult(plan, dt, "invalid plan")
+    return PlanResult(plan, dt, None)
+
+
+def plan_puzzles(
+    named_puzzles: Sequence[Tuple[str, Puzzle]],
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = 60.0,
+    expand: int = 256,
+    frontier_capacity: int = 1 << 15,
+    visited_bits: int = 21,
+    history_capacity: int = 1 << 21,
+    progress: bool = False,
+) -> Dict[str, PlanResult]:
+    """Solves many puzzles with the batched device planner, grouped into
+    shape buckets so compiled kernels are shared within each bucket."""
+    from pushworld_tpu.search.batched import (
+        BatchedPlanner,
+        required_depth,
+    )
+    from pushworld_tpu.core.compiled import compile_puzzle
+    from pushworld_tpu.ops.rgd import build_rgd_tables
+
+    # Group by bucket.
+    buckets: Dict[tuple, List[Tuple[str, Puzzle, int]]] = {}
+    for name, puzzle in named_puzzles:
+        depth = required_depth(puzzle)
+        key = bucket_key(puzzle, depth)
+        buckets.setdefault(key, []).append((name, puzzle, depth))
+
+    results: Dict[str, PlanResult] = {}
+    for key in sorted(buckets):
+        n_pad, h_pad, w_pad, delta, depth = key
+        group = buckets[key]
+        # Bucket-wide contact-list length and goal-count bound.
+        cps = {}
+        cmax_req = 1
+        goals_req = 1
+        import numpy as np
+
+        for name, puzzle, _ in group:
+            cp = compile_puzzle(puzzle, n_pad, h_pad, w_pad, delta)
+            cps[name] = cp
+            counts = np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1)
+            cmax_req = max(cmax_req, int(counts.max()))
+            goals_req = max(goals_req, puzzle.num_goals)
+        cmax = _pad(_CMAX_LADDER, cmax_req)
+
+        for name, puzzle, _ in group:
+            t0 = time.monotonic()
+            tables = build_rgd_tables(
+                puzzle, cps[name], cmax_pad=cmax, max_goals=goals_req
+            )
+            planner = BatchedPlanner(
+                puzzle,
+                cp=cps[name],
+                tables=tables,
+                expand=expand,
+                frontier_capacity=frontier_capacity,
+                visited_bits=visited_bits,
+                history_capacity=history_capacity,
+                max_depth=depth,
+                use_novelty=(mode == "N+RGD"),
+            )
+            try:
+                remaining = (
+                    None
+                    if time_limit is None
+                    else max(0.5, time_limit - (time.monotonic() - t0))
+                )
+                plan = planner.solve(time_limit=remaining)
+                dt = time.monotonic() - t0
+                if plan is None:
+                    results[name] = PlanResult(None, dt, "no solution")
+                elif plan == [] or puzzle.is_valid_plan(plan):
+                    results[name] = PlanResult(plan, dt, None)
+                else:
+                    results[name] = PlanResult(plan, dt, "invalid plan")
+            except TimeoutError:
+                results[name] = PlanResult(
+                    None, time.monotonic() - t0, "time limit"
+                )
+            if progress:
+                r = results[name]
+                status = "ok" if r.failure_reason is None else r.failure_reason
+                print(
+                    f"  {name}: {status} "
+                    f"({r.planning_time:.2f}s, plan={len(r.plan) if r.plan else 0})",
+                    flush=True,
+                )
+    return results

@@ -1,0 +1,146 @@
+"""Batched device planner tests: hashset/novelty primitives + end-to-end
+solves on fixtures with host-validated plans."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pushworld_tpu.core.puzzle import Puzzle
+
+
+# ------------------------------------------------------------------ hashset
+
+
+def test_hashset_roundtrip():
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.hashset import (
+        dedup_batch,
+        fingerprint,
+        init_hashset,
+        probe_and_insert,
+    )
+
+    rng = np.random.RandomState(0)
+    states = rng.randint(0, 30, size=(64, 5, 2)).astype(np.int32)
+    states[16] = states[0]  # in-batch duplicate
+    states[17] = states[1]
+    lo, hi = fingerprint(jnp.asarray(states), width=32)
+    valid = jnp.ones((64,), bool)
+
+    uniq = np.asarray(dedup_batch(lo, hi, valid))
+    assert not uniq[16] and not uniq[17]
+    assert uniq[0] and uniq[1]
+
+    hs = init_hashset(10)
+    is_new, hs = probe_and_insert(hs, lo, hi, jnp.asarray(uniq))
+    assert np.asarray(is_new).sum() == uniq.sum()
+
+    # Second insertion of the same keys: nothing new.
+    uniq2 = dedup_batch(lo, hi, valid)
+    is_new2, hs = probe_and_insert(hs, lo, hi, uniq2)
+    assert np.asarray(is_new2).sum() == 0
+
+
+def test_fingerprint_distinguishes_states():
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.hashset import fingerprint
+
+    rng = np.random.RandomState(1)
+    states = rng.randint(0, 50, size=(2000, 6, 2)).astype(np.int32)
+    lo, hi = fingerprint(jnp.asarray(states), width=54)
+    keys = set(zip(np.asarray(lo).tolist(), np.asarray(hi).tolist()))
+    assert len(keys) == 2000  # no collisions in a small sample
+
+
+# ------------------------------------------------------------------ novelty
+
+
+def test_batched_novelty_matches_host_sequential():
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.novelty import init_novelty, novelty_score_and_update
+    from pushworld_tpu.search.heuristics_host import NoveltyHeuristic
+
+    # Batch size 1 == sequential semantics; compare against the host oracle.
+    n, H, W = 3, 9, 9
+    host = NoveltyHeuristic(n)
+    dev = init_novelty(n, H, W)
+    rng = np.random.RandomState(2)
+    prev = np.array([[1, 1], [5, 5], [7, 7]], np.int32)
+    for step_i in range(60):
+        state = prev.copy()
+        moved_idx = rng.choice(n, size=rng.randint(1, n + 1), replace=False)
+        for i in moved_idx:
+            state[i] = rng.randint(1, 8, size=2)
+        moved = np.zeros((n,), bool)
+        moved[[i for i in range(n) if not np.array_equal(state[i], prev[i])]] = True
+        if not moved.any():
+            continue
+        expected = host.estimate(
+            [tuple(p) for p in state], [i for i in range(n) if moved[i]]
+        )
+        got, dev = novelty_score_and_update(
+            dev, jnp.asarray(state)[None], jnp.asarray(moved)[None],
+            jnp.ones((1,), bool),
+        )
+        # Hashed pair table can only raise 2 -> 3, never lower values.
+        g = float(np.asarray(got)[0])
+        assert g == expected or (expected == 2.0 and g == 3.0), (step_i, expected, g)
+        prev = state
+
+
+# ------------------------------------------------------- end-to-end solving
+
+
+FIXTURES = [
+    ("simple", None),
+    ("chain", None),
+    ("push_left", None),
+    ("multi_goal", None),
+    ("lshape", None),
+    ("heur/trivial", None),
+    ("heur/easy_search", None),
+    ("heur/multiple_goals", None),
+    ("heur/transitive_pushing", None),
+    ("heur/trivial_tool", None),
+    ("heur/trivial_tool2", None),
+    ("heur/necessary_transitive_pushing1", None),
+    ("heur/blocked_transitive_pushing2", None),
+    ("heur/two_tools", None),
+]
+
+
+@pytest.mark.parametrize("name,depth", FIXTURES)
+def test_batched_solve_fixtures(puzzles_dir, name, depth):
+    from pushworld_tpu.search.batched import solve_batched
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+    plan = solve_batched(
+        p,
+        max_depth=depth,
+        expand=32,
+        frontier_capacity=1 << 10,
+        visited_bits=14,
+        history_capacity=1 << 14,
+        time_limit=120,
+    )
+    assert plan is not None, name
+    assert p.is_valid_plan(plan) or (p.is_goal_state(p.initial_state) and plan == []), name
+
+
+def test_batched_no_solution(puzzles_dir):
+    from pushworld_tpu.search.batched import solve_batched
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    plan = solve_batched(
+        p,
+        expand=16,
+        frontier_capacity=1 << 8,
+        visited_bits=12,
+        history_capacity=1 << 12,
+        time_limit=120,
+    )
+    assert plan is None

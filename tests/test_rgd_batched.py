@@ -22,6 +22,7 @@ FIXTURES = [
     "trivial_tool",
     "trivial_tool2",
     "shortest_path_tool",
+    "two_tools",
 ]
 
 
