@@ -1,0 +1,180 @@
+"""Puzzle-sharded SPMD planning: one batched search per device, in lockstep
+chunks.
+
+Independent puzzles are the embarrassingly-parallel axis of the benchmark
+(the reference runs planner subprocesses sequentially,
+benchmark_rgd.py:70-84).  Here a group of G puzzles — all compiled to one
+bucket shape — is stacked along a leading axis, sharded over the mesh's
+'puzzle' axis, and the per-puzzle batched search iterates under a single
+``jit`` as a vmapped while-loop: every device advances its own search; the
+host polls the (tiny) solved/active flags between chunks to enforce budgets.
+Lanes that finish early keep their results sticky (solved flag and history
+prefix are immutable once set) while the remaining lanes continue.
+"""
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from pushworld_tpu.core.compiled import compile_puzzle
+from pushworld_tpu.core.puzzle import Puzzle
+from pushworld_tpu.ops.rgd import build_rgd_tables
+from pushworld_tpu.search.batched import (
+    EMPTY,
+    BatchedPlanner,
+    SearchConfig,
+    SearchState,
+    _iterate,
+)
+from pushworld_tpu.search.planner import PlanResult, _pad, _CMAX_LADDER
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def _run_chunk_group(cps, tables, cfg: SearchConfig, states, chunk: int = 16):
+    """Advances every lane of a stacked search state by up to ``chunk``
+    iterations (lanes whose search is finished are effectively frozen:
+    solved/history prefixes are sticky)."""
+
+    def one(cp, t, s):
+        def cond(carry):
+            s, i = carry
+            exhausted = jnp.min(s.frontier_h) >= EMPTY * 0.5
+            hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
+            return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
+
+        def body(carry):
+            s, i = carry
+            return _iterate(cp, t, cfg, s), i + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        return s
+
+    return jax.vmap(one)(cps, tables, states)
+
+
+def solve_group(
+    named_puzzles: Sequence[Tuple[str, Puzzle]],
+    mesh: Optional[Mesh] = None,
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = 60.0,
+    max_depth: int = 1,
+    expand: int = 128,
+    frontier_capacity: int = 1 << 14,
+    visited_bits: int = 19,
+    history_capacity: int = 1 << 19,
+    chunk: int = 16,
+) -> Dict[str, PlanResult]:
+    """Solves a group of puzzles concurrently, sharded over ``mesh``.
+
+    All puzzles are padded to one common bucket shape.  The group is padded
+    to a multiple of the mesh size by replicating the last puzzle (padding
+    lanes are discarded).
+    """
+    if mesh is None:
+        from pushworld_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    names = [n for n, _ in named_puzzles]
+    puzzles = [p for _, p in named_puzzles]
+    G = len(puzzles)
+    pad = (-G) % n_dev
+    padded = puzzles + [puzzles[-1]] * pad
+
+    # One bucket covering the group.
+    from pushworld_tpu.core.compiled import bucket_shape
+
+    N, H, W, delta = bucket_shape(padded)
+    cps = [compile_puzzle(p, N, H, W, delta) for p in padded]
+    cmax_req = max(
+        int(np.asarray(cp.push).reshape(4, N, N, -1).sum(-1).max()) for cp in cps
+    )
+    cmax = _pad(_CMAX_LADDER, max(1, cmax_req))
+    goals = max(p.num_goals for p in padded)
+    tables = [
+        build_rgd_tables(p, cp, cmax_pad=cmax, max_goals=goals)
+        for p, cp in zip(padded, cps)
+    ]
+
+    cfg = SearchConfig(
+        expand=expand,
+        history_capacity=history_capacity,
+        max_depth=max_depth,
+        use_novelty=(mode == "N+RGD"),
+    )
+    planners = [
+        BatchedPlanner(
+            p,
+            cp=cp,
+            tables=t,
+            expand=expand,
+            frontier_capacity=frontier_capacity,
+            visited_bits=visited_bits,
+            history_capacity=history_capacity,
+            max_depth=max_depth,
+            use_novelty=cfg.use_novelty,
+        )
+        for p, cp, t in zip(padded, cps, tables)
+    ]
+    states = [pl.init_state() for pl in planners]
+
+    stack = lambda trees: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+    cps_s = stack(cps)
+    tables_s = stack(tables)
+    states_s = stack(states)
+
+    sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    put = lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+    cps_s, tables_s, states_s = put(cps_s), put(tables_s), put(states_s)
+
+    t0 = time.monotonic()
+    deadline = None if time_limit is None else t0 + time_limit
+    while True:
+        states_s = _run_chunk_group(cps_s, tables_s, cfg, states_s, chunk)
+        solved = np.asarray(states_s.solved)
+        h_min = np.asarray(jnp.min(states_s.frontier_h, axis=1))
+        cursors = np.asarray(states_s.hist_cursor)
+        exhausted = h_min >= float(EMPTY) * 0.5
+        hist_full = cursors >= history_capacity - 8 * expand
+        active = ~solved & ~exhausted & ~hist_full
+        if not active.any():
+            break
+        if deadline is not None and time.monotonic() > deadline:
+            break
+
+    elapsed = time.monotonic() - t0
+    solved = np.asarray(states_s.solved)
+    solved_hist = np.asarray(states_s.solved_hist)
+    hist_parent = np.asarray(states_s.hist_parent)
+    hist_action = np.asarray(states_s.hist_action)
+    h_min = np.asarray(jnp.min(states_s.frontier_h, axis=1))
+
+    results: Dict[str, PlanResult] = {}
+    for i, name in enumerate(names):
+        if puzzles[i].is_goal_state(puzzles[i].initial_state):
+            results[name] = PlanResult([], elapsed, None)
+            continue
+        if solved[i]:
+            plan: List[int] = []
+            idx = int(solved_hist[i])
+            while idx > 0:
+                plan.append(int(hist_action[i, idx]))
+                idx = int(hist_parent[i, idx])
+            plan.reverse()
+            if puzzles[i].is_valid_plan(plan):
+                results[name] = PlanResult(plan, elapsed, None)
+            else:
+                results[name] = PlanResult(plan, elapsed, "invalid plan")
+        elif h_min[i] >= float(EMPTY) * 0.5:
+            results[name] = PlanResult(None, elapsed, "no solution")
+        else:
+            results[name] = PlanResult(None, elapsed, "time limit")
+    return results
