@@ -101,8 +101,8 @@ def build_reachability(cp: CompiledPuzzle, max_iters: int = 512):
             return out > 0.5
         return jax.vmap(one_action)(E, kernels_f)  # (4, N, H, W)
 
-    def step_fixpoint(carry):
-        E, reached, _ = carry
+    def body(carry):
+        E, reached, _, i = carry
         support = pushed_support(E)
         # Agent (object 0) needs no pusher.
         support = support.at[:, 0].set(True)
@@ -113,18 +113,16 @@ def build_reachability(cp: CompiledPuzzle, max_iters: int = 512):
         for a, (dx, dy) in enumerate(DISPLACEMENTS):
             arrive = arrive | _shift2d(E_new[a], -dx, -dy)
         changed = jnp.any(E_new != E) | jnp.any(arrive != reached)
-        return E_new, arrive, changed
+        return E_new, arrive, changed, i + 1
 
     def cond(carry):
-        return carry[2]
-
-    def body(carry):
-        E, reached, _ = carry
-        return step_fixpoint((E, reached, False))
+        # The explicit iteration cap both bounds the monotone fixpoint and
+        # sidesteps a pathological XLA:TPU compile for counter-less loops.
+        return carry[2] & (carry[3] < max_iters)
 
     E0 = jnp.zeros((4, N, H, W), jnp.bool_)
-    carry = (E0, init_onehot, jnp.bool_(True))
-    E, reached, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (E0, init_onehot, jnp.bool_(True), jnp.int32(0))
+    E, reached, _, _ = jax.lax.while_loop(cond, body, carry)
     return E, reached
 
 
@@ -153,16 +151,19 @@ def distance_to_targets(
     H, W = targets.shape
 
     def body(carry):
-        d, _ = carry
+        d, _, i = carry
         best = d
         for a, (dx, dy) in enumerate(DISPLACEMENTS):
             # moving from p to p + d_a costs 1.
             cand = jnp.where(E_o[a], _shift2d(d, dx, dy, fill=INF) + 1.0, INF)
             best = jnp.minimum(best, cand)
-        return best, jnp.any(best != d)
+        return best, jnp.any(best != d), i + 1
 
+    cap = min(max_iters, H * W + 8)
     d0 = jnp.where(targets, 0.0, INF)
-    d, _ = jax.lax.while_loop(lambda c: c[1], lambda c: body((c[0], False)), (d0, jnp.bool_(True)))
+    d, _, _ = jax.lax.while_loop(
+        lambda c: c[1] & (c[2] < cap), body, (d0, jnp.bool_(True), jnp.int32(0))
+    )
     return d
 
 
@@ -185,15 +186,15 @@ def all_pairs_distances(E_o: jax.Array) -> jax.Array:
     d0 = jnp.where(eye > 0, 0.0, INF).reshape(HW, H, W)  # [t, y, x]
 
     def body(carry):
-        d, _ = carry
+        d, _, i = carry
         best = d
         for a, (dx, dy) in enumerate(DISPLACEMENTS):
             cand = jnp.where(E_o[a][None], _shift2d(d, dx, dy, fill=INF) + 1.0, INF)
             best = jnp.minimum(best, cand)
-        return best, jnp.any(best != d)
+        return best, jnp.any(best != d), i + 1
 
-    d, _ = jax.lax.while_loop(
-        lambda c: c[1], lambda c: body((c[0], False)), (d0, jnp.bool_(True))
+    d, _, _ = jax.lax.while_loop(
+        lambda c: c[1] & (c[2] < HW + 8), body, (d0, jnp.bool_(True), jnp.int32(0))
     )
     # d[t, y, x] = dist((x, y) -> t).  Return D[s, t].
     return jnp.transpose(d.reshape(HW, HW))
