@@ -134,6 +134,86 @@ def _conv_orientation_note():
     so kernel[o, q, ky, kx] = push[a, q, o, ky, kx] directly."""
 
 
+def host_graph_distances(E_o: np.ndarray, sources: np.ndarray = None) -> np.ndarray:
+    """All-pairs distances D[s, t] on one object's movement graph, computed
+    on host with scipy's C BFS (the tables are built once per puzzle; the
+    device wavefront version below compiles pathologically slowly on some
+    TPU toolchains, so the host path is the default for table building).
+
+    Args:
+        E_o: bool (4, H, W) numpy — feasible transitions.
+        sources: optional bool (H*W,) mask restricting BFS sources (rows for
+            other sources are all-INF).
+
+    Returns:
+        float32 (H*W, H*W); unreachable pairs = INF (1e9).
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    E_o = np.asarray(E_o)
+    H, W = E_o.shape[-2:]
+    HW = H * W
+    rows = []
+    cols = []
+    for a, (dx, dy) in enumerate(DISPLACEMENTS):
+        ys, xs = np.nonzero(E_o[a])
+        src = ys * W + xs
+        dst = (ys + dy) * W + (xs + dx)
+        ok = (xs + dx >= 0) & (xs + dx < W) & (ys + dy >= 0) & (ys + dy < H)
+        rows.append(src[ok])
+        cols.append(dst[ok])
+    rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+    cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+
+    out = np.full((HW, HW), float(INF), np.float32)
+    np.fill_diagonal(out, 0.0)
+    if len(rows) == 0:
+        return out
+    adj = sp.csr_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols)), shape=(HW, HW)
+    )
+    active = np.zeros((HW,), bool)
+    active[rows] = True
+    active[cols] = True
+    if sources is not None:
+        active &= np.asarray(sources).reshape(-1)
+    idx = np.nonzero(active)[0]
+    if len(idx) == 0:
+        return out
+    d = csgraph.shortest_path(adj, method="D", unweighted=True, indices=idx)
+    d = np.where(np.isfinite(d), d, float(INF)).astype(np.float32)
+    out[idx] = d
+    return out
+
+
+def host_distance_to_targets(E_o: np.ndarray, target_flat: int) -> np.ndarray:
+    """(H, W) float32 field of graph distances from every position to one
+    target (host BFS over reversed edges)."""
+    from collections import deque
+
+    E_o = np.asarray(E_o)
+    H, W = E_o.shape[-2:]
+    # Reversed adjacency: target <- p for each edge p -> p + d_a.
+    pred = [[] for _ in range(H * W)]
+    for a, (dx, dy) in enumerate(DISPLACEMENTS):
+        ys, xs = np.nonzero(E_o[a])
+        for y, x in zip(ys, xs):
+            tx, ty = x + dx, y + dy
+            if 0 <= tx < W and 0 <= ty < H:
+                pred[ty * W + tx].append(y * W + x)
+    dist = np.full((H * W,), float(INF), np.float32)
+    dist[target_flat] = 0.0
+    q = deque([target_flat])
+    while q:
+        t = q.popleft()
+        for p in pred[t]:
+            if dist[p] >= float(INF):
+                dist[p] = dist[t] + 1.0
+                q.append(p)
+    return dist.reshape(H, W)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def distance_to_targets(
     E_o: jax.Array, targets: jax.Array, max_iters: int = 4096

@@ -83,18 +83,23 @@ def build_rgd_tables(
     E, _ = build_reachability(cp)
     N, H, W = cp.n, cp.height, cp.width
 
-    D = jnp.stack([all_pairs_distances(E[:, o]) for o in range(N)])
+    # One-time distance tables are built on host (C BFS): the device
+    # wavefront kernels are exact too but compile pathologically slowly on
+    # some TPU toolchains (see ops/graphs.py:host_graph_distances).
+    from pushworld_tpu.ops.graphs import host_distance_to_targets, host_graph_distances
+
+    E_np = np.asarray(E)
+    D = jnp.asarray(np.stack([host_graph_distances(E_np[:, o]) for o in range(N)]))
 
     DG_list = []
     for o in range(N):
         k = o - 1
         if 0 <= k < puzzle.num_goals:
             g = puzzle.goal_state[k]
-            targets = jnp.zeros((H, W), bool).at[g[1], g[0]].set(True)
-            DG_list.append(distance_to_targets(E[:, o], targets))
+            DG_list.append(host_distance_to_targets(E_np[:, o], g[1] * W + g[0]))
         else:
-            DG_list.append(jnp.full((H, W), INF))
-    DG = jnp.stack(DG_list)
+            DG_list.append(np.full((H, W), float(INF), np.float32))
+    DG = jnp.asarray(np.stack(DG_list))
 
     # Compact contact offsets from the dense push tables.
     push = np.asarray(cp.push)  # (4, pusher, pushee, K, K)

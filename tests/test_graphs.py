@@ -94,3 +94,34 @@ def test_distance_fields_match_host(puzzles_dir, name):
                     assert got >= float(INF), (name, o, s, t)
                 else:
                     assert got == expected, (name, o, s, t)
+
+
+@pytest.mark.parametrize("name", ["trivial", "trivial_tool", "shortest_path_tool"])
+def test_host_distances_match_device(puzzles_dir, name):
+    """The host scipy-BFS tables equal the device wavefront kernels."""
+    import numpy as np
+
+    from pushworld_tpu.ops.graphs import (
+        build_reachability,
+        all_pairs_distances,
+        host_graph_distances,
+        host_distance_to_targets,
+        distance_to_targets,
+    )
+    import jax.numpy as jnp
+
+    puzzle = load(puzzles_dir, name)
+    cp = compile_puzzle(puzzle)
+    E, _ = build_reachability(cp)
+    E_np = np.asarray(E)
+    W = cp.width
+    for o in range(puzzle.num_movables):
+        D_dev = np.asarray(all_pairs_distances(E[:, o]))
+        D_host = host_graph_distances(E_np[:, o])
+        np.testing.assert_array_equal(D_host, D_dev, err_msg=f"{name} obj {o}")
+    for k in range(puzzle.num_goals):
+        g = puzzle.goal_state[k]
+        targets = jnp.zeros((cp.height, cp.width), bool).at[g[1], g[0]].set(True)
+        F_dev = np.asarray(distance_to_targets(E[:, k + 1], targets))
+        F_host = host_distance_to_targets(E_np[:, k + 1], g[1] * W + g[0])
+        np.testing.assert_array_equal(F_host, F_dev, err_msg=f"{name} goal {k}")
