@@ -1,108 +1,86 @@
 #!/usr/bin/env python
 """Headline benchmark for pushworld-tpu.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current headline: batched PushWorld dynamics throughput (environment steps/s)
-on one chip, measured on real benchmark puzzles, vs the single-threaded host
-reference implementation of the same transition function (the reference
-Python stack's architecture — one state, one step at a time; reference:
-python3/src/pushworld/puzzle.py:348-394).
+Headline: benchmark puzzles solved per second by the batched device planner
+(N+RGD) under a per-puzzle 60 s budget, on a level-1 subset.  ``vs_baseline``
+compares against the serial host planner (this framework's exact
+reimplementation of the reference C++ planner's algorithm — greedy best-first
+with novelty + fewest-tools RGD; reference: cpp/src/run_planner.cc:37-61) on
+the same puzzles and budget.
 
-Once the batched planner lands, the headline switches to puzzles-solved/s
-within the 1-minute budget (BASELINE.md north star).
+Environment overrides:
+  PUSHWORLD_BENCH_COUNT   number of puzzles (default 16)
+  PUSHWORLD_BENCH_LEVEL   benchmark level directory (default level1)
+  PUSHWORLD_BENCH_BUDGET  per-puzzle seconds (default 60)
 """
 
 import json
 import os
-import sys
 import time
-
-import numpy as np
-
-
-def _benchmark_puzzles(max_count=16):
-    from pushworld_tpu import config
-    from pushworld_tpu.core.puzzle import Puzzle
-    from pushworld_tpu.utils.filesystem import iter_files_with_extension
-
-    paths = list(
-        iter_files_with_extension(
-            os.path.join(config.BENCHMARK_PUZZLES_PATH, "level1"), ".pwp"
-        )
-    )[:max_count]
-    if not paths:
-        raise RuntimeError("benchmark puzzles not found")
-    return [Puzzle.from_file(p) for p in paths]
-
-
-def host_baseline_steps_per_s(puzzle, seconds=2.0):
-    """Single-threaded, one-state-at-a-time transition throughput (the
-    reference architecture's per-step cost, measured on our exact host
-    oracle which mirrors it)."""
-    rng = np.random.RandomState(0)
-    state = puzzle.initial_state
-    n = 0
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < seconds:
-        for a in rng.randint(0, 4, size=256):
-            state = puzzle.get_next_state(state, int(a))
-        n += 256
-    return n / (time.perf_counter() - t0)
-
-
-def device_steps_per_s(puzzles, batch_per_puzzle=512, horizon=256):
-    import jax
-    import jax.numpy as jnp
-
-    from pushworld_tpu.core.compiled import compile_batch
-    from pushworld_tpu.ops.step import step
-
-    cp = compile_batch(puzzles)
-    P = len(puzzles)
-    B = batch_per_puzzle
-
-    # (P, B, N, 2) states; scan a horizon of random actions, fully on device.
-    step_pb = jax.vmap(jax.vmap(step, in_axes=(None, 0, 0)), in_axes=(0, 0, 0))
-
-    @jax.jit
-    def rollout(states, rng):
-        def body(carry, step_rng):
-            states = carry
-            actions = jax.random.randint(step_rng, (P, B), 0, 4)
-            return step_pb(cp, states, actions), None
-
-        rngs = jax.random.split(rng, horizon)
-        final, _ = jax.lax.scan(body, states, rngs)
-        return final
-
-    states0 = jnp.broadcast_to(
-        jnp.asarray(cp.init_state)[:, None], (P, B) + cp.init_state.shape[1:]
-    )
-    # Warm up / compile.
-    out = rollout(states0, jax.random.PRNGKey(0))
-    out.block_until_ready()
-
-    t0 = time.perf_counter()
-    iters = 4
-    for i in range(iters):
-        out = rollout(out, jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return iters * horizon * P * B / dt
 
 
 def main():
-    puzzles = _benchmark_puzzles()
-    value = device_steps_per_s(puzzles)
-    baseline = host_baseline_steps_per_s(puzzles[0])
+    count = int(os.environ.get("PUSHWORLD_BENCH_COUNT", "16"))
+    level = os.environ.get("PUSHWORLD_BENCH_LEVEL", "level1")
+    budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", "60"))
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from pushworld_tpu import config
+    from pushworld_tpu.core.puzzle import Puzzle
+    from pushworld_tpu.search.host_planner import solve_host
+    from pushworld_tpu.search.planner import plan_puzzles
+    from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
+
+    paths = get_puzzle_file_paths(os.path.join(config.BENCHMARK_PUZZLES_PATH, level))
+    names = sorted(paths)[:count]
+    named = [(n, Puzzle.from_file(paths[n])) for n in names]
+
+    # --- device planner (the headline).
+    t0 = time.monotonic()
+    results = plan_puzzles(named, time_limit=budget, progress=False)
+    device_wall = time.monotonic() - t0
+    device_solved = sum(
+        1 for n in names if results[n].failure_reason is None
+    )
+
+    # --- host baseline on the same protocol.
+    t0 = time.monotonic()
+    host_solved = 0
+    for n, p in named:
+        try:
+            plan = solve_host(p, mode="N+RGD", time_limit=budget)
+            if plan is not None and (plan == [] or p.is_valid_plan(plan)):
+                host_solved += 1
+        except TimeoutError:
+            pass
+    host_wall = time.monotonic() - t0
+
+    value = device_solved / device_wall if device_wall > 0 else 0.0
+    baseline = host_solved / host_wall if host_wall > 0 else 1e-9
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_s_per_chip",
-                "value": round(value, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(value / baseline, 2),
+                "metric": f"{level}_puzzles_solved_per_s",
+                "value": round(value, 4),
+                "unit": "puzzles/s",
+                "vs_baseline": round(value / baseline, 3),
+                "detail": {
+                    "device_solved": device_solved,
+                    "host_solved": host_solved,
+                    "count": count,
+                    "device_wall_s": round(device_wall, 1),
+                    "host_wall_s": round(host_wall, 1),
+                },
             }
         )
     )

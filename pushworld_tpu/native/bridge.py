@@ -1,0 +1,152 @@
+"""ctypes bridge to the native serial planner (planner.cc).
+
+The shared library is built on demand with g++ (no external deps); it
+consumes the same dense collision tables as the TPU kernels, so host,
+native, and device planners share one compilation of puzzle semantics.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "planner.cc")
+_LIB = os.path.join(_HERE, "libpushworld_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", _LIB, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.pw_build_graphs.restype = ctypes.c_int32
+        lib.pw_build_graphs.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.pw_solve.restype = ctypes.c_int64
+        lib.pw_solve.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def solve_native(
+    puzzle,
+    compiled=None,
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = None,
+    max_expansions: int = 0,
+    plan_capacity: int = 1 << 16,
+) -> Optional[List[int]]:
+    """Solves with the native planner.  Returns the plan, None for no
+    solution, or raises TimeoutError / RuntimeError."""
+    from pushworld_tpu.core.compiled import compile_puzzle
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native planner unavailable (g++ build failed)")
+    cp = compiled if compiled is not None else compile_puzzle(puzzle)
+
+    n = puzzle.num_movables
+    # Slice off bucket padding: the C side indexes by the real movable count.
+    sb = np.ascontiguousarray(np.asarray(cp.static_block)[:, :n], np.uint8)
+    push = np.ascontiguousarray(np.asarray(cp.push)[:, :n, :n], np.uint8)
+    init = np.ascontiguousarray(np.asarray(cp.init_state)[: puzzle.num_movables], np.int32)
+    goals = np.ascontiguousarray(np.array(puzzle.goal_state, np.int32).reshape(-1, 2))
+
+    out = np.zeros((plan_capacity,), np.int32)
+    out_exp = ctypes.c_int64(0)
+    rc = lib.pw_solve(
+        puzzle.num_movables,
+        cp.height,
+        cp.width,
+        cp.delta,
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        push.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        goals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        puzzle.num_goals,
+        1 if mode == "N+RGD" else 0,
+        -1.0 if time_limit is None else float(time_limit),
+        int(max_expansions),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        plan_capacity,
+        ctypes.byref(out_exp),
+    )
+    if rc >= 0:
+        return [int(a) for a in out[:rc]]
+    if rc == -1:
+        return None
+    if rc == -2:
+        raise TimeoutError("native planner budget exhausted")
+    raise RuntimeError(f"native planner error {rc}")
+
+
+def build_graphs_native(puzzle, compiled=None) -> "np.ndarray":
+    """Feasible-movement transitions E (4, n, H, W) uint8 via the native
+    worklist fixpoint (equal to ops.graphs.build_reachability and to
+    search.heuristics_host.MovementGraphs)."""
+    from pushworld_tpu.core.compiled import compile_puzzle
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    cp = compiled if compiled is not None else compile_puzzle(puzzle)
+    n = puzzle.num_movables
+    sb = np.ascontiguousarray(np.asarray(cp.static_block)[:, :n], np.uint8)
+    push = np.ascontiguousarray(np.asarray(cp.push)[:, :n, :n], np.uint8)
+    init = np.ascontiguousarray(
+        np.asarray(cp.init_state)[:n], np.int32
+    )
+    out = np.zeros((4, n, cp.height, cp.width), np.uint8)
+    rc = lib.pw_build_graphs(
+        n, cp.height, cp.width, cp.delta,
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        push.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pw_build_graphs error {rc}")
+    return out

@@ -1,0 +1,643 @@
+// Native serial PushWorld planner.
+//
+// The CPU-side runtime component of pushworld-tpu: a greedy best-first
+// search with novelty + fewest-tools recursive-graph-distance heuristics,
+// semantically equivalent to the reference C++ planner
+// (reference: cpp/src/run_planner.cc, cpp/src/heuristics/*.cc,
+// cpp/include/search/best_first_search.h) but architected differently:
+//
+//  - no Boost: flat arrays, FNV hashing, open-addressing visited table;
+//  - node arena (contiguous positions + parent/action records) instead of
+//    shared_ptr chains; plans backtrack stored actions, no re-simulation;
+//  - two-level bucket priority queue (novelty tier x integer RGD value,
+//    LIFO within a bucket) instead of a Fibonacci heap;
+//  - consumes the dense collision tables produced by
+//    pushworld_tpu.core.compiled (the same tensors the TPU kernels use),
+//    compacted to per-pair contact-offset lists at load.
+//
+// Exposed as a small C API used via ctypes (pushworld_tpu/native/bridge.py).
+
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+constexpr int kNumActions = 4;
+const int kDx[4] = {-1, 1, 0, 0};
+const int kDy[4] = {0, 0, -1, 1};
+
+struct Contact {
+  int16_t rx;
+  int16_t ry;
+};
+
+// ----------------------------------------------------------------- puzzle
+
+struct Puzzle {
+  int n = 0;        // movables (agent first)
+  int H = 0, W = 0; // grid incl. border
+  int HW = 0;
+  int num_goals = 0;
+  std::vector<int32_t> goal_pos;             // packed, per goal object k -> index k+1
+  std::vector<int32_t> init_state;           // packed positions, n entries
+  std::vector<uint8_t> static_block;         // [a][o][p] -> 4*n*HW
+  // Contact offsets per (action, pusher, pushee): pusher at pushee + rel.
+  std::vector<std::vector<Contact>> contacts; // index a*n*n + q*n + o
+
+  inline bool blocked(int a, int o, int p) const {
+    return static_block[(a * n + o) * HW + p] != 0;
+  }
+  inline const std::vector<Contact>& contact(int a, int q, int o) const {
+    return contacts[(a * n + q) * n + o];
+  }
+};
+
+// ------------------------------------------------------------- transition
+
+// Returns true and fills next if something moved; false otherwise.
+// Semantics: reference pushworld_puzzle.cc:386-460 (transitive stopping).
+bool step(const Puzzle& pz, const int32_t* state, int action, int32_t* next,
+          uint32_t* moved_mask) {
+  const int n = pz.n;
+  const int W = pz.W;
+  if (pz.blocked(action, 0, state[0])) return false;
+
+  uint32_t pushed = 1u; // bit per movable; agent always moves
+  int frontier[32];
+  int fsize = 0;
+  frontier[fsize++] = 0;
+  while (fsize) {
+    const int i = frontier[--fsize];
+    const int xi = state[i] % W;
+    const int yi = state[i] / W;
+    for (int j = 1; j < n; j++) {
+      if (pushed & (1u << j)) continue;
+      const int rx = xi - state[j] % W;
+      const int ry = yi - state[j] / W;
+      bool hit = false;
+      for (const Contact& c : pz.contact(action, i, j)) {
+        if (c.rx == rx && c.ry == ry) { hit = true; break; }
+      }
+      if (!hit) continue;
+      if (pz.blocked(action, j, state[j])) return false; // transitive stop
+      pushed |= (1u << j);
+      frontier[fsize++] = j;
+    }
+  }
+  const int disp = kDy[action] * W + kDx[action];
+  for (int i = 0; i < n; i++) {
+    next[i] = (pushed & (1u << i)) ? state[i] + disp : state[i];
+  }
+  *moved_mask = pushed;
+  return true;
+}
+
+// ------------------------------------------------- feasible movement graph
+
+// E[a][o] bitsets over positions: transition (o at p -> p+d_a) feasible.
+// Semantics: reference domain_transition_graph.cc:113-216 (worklist fixpoint).
+struct MovementGraphs {
+  int n, HW, W;
+  std::vector<std::vector<uint8_t>> E; // [a*n+o] -> HW bytes
+
+  inline bool edge(int a, int o, int p) const { return E[a * n + o][p] != 0; }
+};
+
+MovementGraphs build_graphs(const Puzzle& pz) {
+  MovementGraphs g;
+  g.n = pz.n;
+  g.HW = pz.HW;
+  g.W = pz.W;
+  g.E.assign(kNumActions * pz.n, std::vector<uint8_t>(pz.HW, 0));
+  std::vector<std::vector<uint8_t>> reached(pz.n,
+                                            std::vector<uint8_t>(pz.HW, 0));
+  // Reverse contact lists: for pusher transition (q, p, a), which pushee
+  // transitions may it enable?  pushee at p - rel.
+  struct Dep { int o; int16_t rx, ry; };
+  std::vector<std::vector<Dep>> deps(kNumActions * pz.n);
+  for (int a = 0; a < kNumActions; a++)
+    for (int q = 0; q < pz.n; q++)
+      for (int o = 1; o < pz.n; o++) {
+        if (q == o) continue;
+        for (const Contact& c : pz.contact(a, q, o))
+          deps[a * pz.n + q].push_back({o, c.rx, c.ry});
+      }
+
+  struct Ev { int kind; int o; int p; int a; }; // kind 0 = pos, 1 = edge
+  std::vector<Ev> work;
+  for (int i = 0; i < pz.n; i++) {
+    reached[i][pz.init_state[i]] = 1;
+    work.push_back({0, i, pz.init_state[i], 0});
+  }
+
+  auto has_pusher = [&](int o, int a, int p) {
+    const int x = p % pz.W, y = p / pz.W;
+    for (int q = 0; q < pz.n; q++) {
+      if (q == o) continue;
+      for (const Contact& c : pz.contact(a, q, o)) {
+        const int sx = x + c.rx, sy = y + c.ry;
+        if (sx < 0 || sx >= pz.W || sy < 0 || sy >= pz.H) continue;
+        if (g.edge(a, q, sy * pz.W + sx)) return true;
+      }
+    }
+    return false;
+  };
+
+  auto add_edge = [&](int o, int p, int a) {
+    auto& row = g.E[a * pz.n + o];
+    if (row[p]) return;
+    row[p] = 1;
+    work.push_back({1, o, p, a});
+    const int np = p + kDy[a] * pz.W + kDx[a];
+    if (!reached[o][np]) {
+      reached[o][np] = 1;
+      work.push_back({0, o, np, 0});
+    }
+  };
+
+  while (!work.empty()) {
+    const Ev ev = work.back();
+    work.pop_back();
+    if (ev.kind == 0) {
+      for (int a = 0; a < kNumActions; a++) {
+        if (pz.blocked(a, ev.o, ev.p)) continue;
+        if (ev.o == 0 || has_pusher(ev.o, a, ev.p)) add_edge(ev.o, ev.p, a);
+      }
+    } else {
+      // New pusher edge may enable pushee transitions.
+      const int x = ev.p % pz.W, y = ev.p / pz.W;
+      for (const Dep& d : deps[ev.a * pz.n + ev.o]) {
+        const int px = x - d.rx, py = y - d.ry;
+        if (px < 0 || px >= pz.W || py < 0 || py >= pz.H) continue;
+        const int pp = py * pz.W + px;
+        if (reached[d.o][pp] && !pz.blocked(ev.a, d.o, pp))
+          add_edge(d.o, pp, ev.a);
+      }
+    }
+  }
+  return g;
+}
+
+// --------------------------------------------------------------- distances
+
+// Lazy per-target BFS distance fields over reversed edges.
+// Semantics: reference domain_transition_graph.cc:218-300.
+struct Distances {
+  const MovementGraphs* g;
+  int o;
+  std::unordered_map<int, std::vector<float>> fields; // target -> dist[p]
+
+  const std::vector<float>& field(int target) {
+    auto it = fields.find(target);
+    if (it != fields.end()) return it->second;
+    std::vector<float> d(g->HW, kInf);
+    d[target] = 0.f;
+    std::vector<int> frontier{target}, next;
+    float depth = 0.f;
+    while (!frontier.empty()) {
+      depth += 1.f;
+      next.clear();
+      for (int t : frontier) {
+        const int x = t % g->W, y = t / g->W;
+        // predecessors p with edge p -> t: p = t - d_a and E[a][o][p].
+        for (int a = 0; a < kNumActions; a++) {
+          const int px = x - kDx[a], py = y - kDy[a];
+          if (px < 0 || px >= g->W || py < 0) continue;
+          const int p = py * g->W + px;
+          if (p >= g->HW) continue;
+          if (g->edge(a, o, p) && d[p] == kInf) {
+            d[p] = depth;
+            next.push_back(p);
+          }
+        }
+      }
+      frontier.swap(next);
+    }
+    return fields.emplace(target, std::move(d)).first->second;
+  }
+
+  inline float dist(int source, int target) { return field(target)[source]; }
+};
+
+// --------------------------------------------------------------------- RGD
+
+// Semantics: reference recursive_graph_distance.cc:43-252 (fewest tools).
+struct RGD {
+  const Puzzle* pz;
+  MovementGraphs graphs;
+  std::vector<Distances> dists;
+
+  struct PCKey {
+    int32_t q, qp, o, s, e;
+    bool operator==(const PCKey& k) const {
+      return q == k.q && qp == k.qp && o == k.o && s == k.s && e == k.e;
+    }
+  };
+  struct PCKeyHash {
+    size_t operator()(const PCKey& k) const {
+      uint64_t h = 1469598103934665603ull;
+      const int32_t v[5] = {k.q, k.qp, k.o, k.s, k.e};
+      for (int32_t x : v) { h ^= (uint64_t)(uint32_t)x; h *= 1099511628211ull; }
+      return (size_t)h;
+    }
+  };
+  // costs: pusher_next_position -> min distance cost.
+  std::unordered_map<PCKey, std::vector<std::pair<int, float>>, PCKeyHash>
+      pc_cache;
+
+  explicit RGD(const Puzzle& p) : pz(&p), graphs(build_graphs(p)) {
+    dists.reserve(p.n);
+    for (int o = 0; o < p.n; o++) dists.push_back(Distances{&graphs, o, {}});
+  }
+
+  const std::vector<std::pair<int, float>>& pushing_costs(
+      int q, int qp, int o, int s, int e) {
+    PCKey key{q, qp, o, s, e};
+    auto it = pc_cache.find(key);
+    if (it != pc_cache.end()) return it->second;
+
+    std::vector<std::pair<int, float>> costs;
+    const int d = e - s;
+    int action = -1;
+    for (int a = 0; a < kNumActions; a++)
+      if (kDy[a] * pz->W + kDx[a] == d) { action = a; break; }
+    const int sx = s % pz->W, sy = s / pz->W;
+
+    // Pusher next positions from qp.
+    int nexts[4];
+    int n_next = 0;
+    for (int a = 0; a < kNumActions; a++)
+      if (graphs.edge(a, q, qp))
+        nexts[n_next++] = qp + kDy[a] * pz->W + kDx[a];
+
+    for (const Contact& c : pz->contact(action, q, o)) {
+      const int cx = sx + c.rx, cy = sy + c.ry;
+      if (cx < 0 || cx >= pz->W || cy < 0 || cy >= pz->H) continue;
+      const int contact = cy * pz->W + cx;
+      if (!graphs.edge(action, q, contact)) continue;
+      const int contact_end = contact + d;
+      for (int k = 0; k < n_next; k++) {
+        const int pn = nexts[k];
+        float cost;
+        if (contact == qp && contact_end == pn) {
+          cost = 0.f; // simultaneous push
+        } else {
+          const float dc = dists[q].dist(pn, contact);
+          if (dc == kInf) continue;
+          cost = dc + 1.f;
+        }
+        bool found = false;
+        for (auto& pr : costs)
+          if (pr.first == pn) { found = true; if (cost < pr.second) pr.second = cost; break; }
+        if (!found) costs.emplace_back(pn, cost);
+      }
+    }
+    return pc_cache.emplace(key, std::move(costs)).first->second;
+  }
+
+  float recursive_pushing_cost(const int32_t* state, int o, int cur, int eff,
+                               uint32_t skipped, int depth, float bound) {
+    float min_cost = bound;
+    skipped |= (1u << o);
+    const int start = depth == 0 ? 0 : 1;
+    const int end = depth == 0 ? 1 : pz->n;
+    for (int q = start; q < end; q++) {
+      if (skipped & (1u << q)) continue;
+      const auto& pcs = pushing_costs(q, state[q], o, cur, eff);
+      for (const auto& [pn, dist_cost] : pcs) {
+        if (dist_cost >= min_cost) continue;
+        if (q == 0) {
+          const float total = dist_cost + 1.f;
+          if (total < min_cost) min_cost = total;
+        } else {
+          min_cost = dist_cost +
+                     recursive_pushing_cost(state, q, state[q], pn, skipped,
+                                            depth - 1, min_cost - dist_cost);
+        }
+      }
+    }
+    return min_cost;
+  }
+
+  float goal_cost(const int32_t* state, int o, int goal, int depth) {
+    const int cur = state[o];
+    if (cur == goal) return 0.f;
+    float min_cost = kInf;
+    for (int a = 0; a < kNumActions; a++) {
+      if (!graphs.edge(a, o, cur)) continue;
+      const int eff = cur + kDy[a] * pz->W + kDx[a];
+      const float gd = dists[o].dist(eff, goal);
+      if (gd >= min_cost) continue;
+      min_cost = gd + recursive_pushing_cost(state, o, cur, eff, 0u, depth,
+                                             min_cost - gd);
+    }
+    return min_cost;
+  }
+
+  float estimate(const int32_t* state) {
+    float cost = 0.f;
+    for (int k = 0; k < pz->num_goals; k++) {
+      const int o = k + 1;
+      float c = kInf;
+      for (int depth = 0; depth < pz->n - 1; depth++) {
+        c = goal_cost(state, o, pz->goal_pos[k], depth);
+        if (c != kInf) break;
+      }
+      cost += c;
+      if (cost == kInf) break;
+    }
+    return cost;
+  }
+};
+
+// ----------------------------------------------------------------- novelty
+
+// Semantics: reference novelty.cc:30-77.
+struct Novelty {
+  int n;
+  std::vector<std::unordered_set<int32_t>> seen_pos;
+  std::unordered_map<uint64_t, std::unordered_set<uint64_t>> seen_pairs;
+
+  explicit Novelty(int n_) : n(n_), seen_pos(n_) {}
+
+  float estimate(const int32_t* state, uint32_t moved) {
+    float novelty = 3.f;
+    for (int i = 0; i < n; i++) {
+      if (!(moved & (1u << i))) continue;
+      if (seen_pos[i].insert(state[i]).second) novelty = 1.f;
+      for (int j = 0; j < n; j++) {
+        if (j == i) continue;
+        const int lo = j < i ? j : i;
+        const int hi = j < i ? i : j;
+        const uint64_t pair_id = ((uint64_t)lo << 32) | (uint32_t)hi;
+        const uint64_t pos_pair =
+            ((uint64_t)(uint32_t)state[lo] << 32) | (uint32_t)state[hi];
+        if (seen_pairs[pair_id].insert(pos_pair).second && novelty > 2.f)
+          novelty = 2.f;
+      }
+    }
+    return novelty;
+  }
+};
+
+// ---------------------------------------------------------- visited + heap
+
+struct Visited {
+  std::vector<uint64_t> hashes;
+  std::vector<int32_t> nodes; // node index per slot (-1 empty)
+  uint64_t mask;
+  const std::vector<int32_t>* arena;
+  int n;
+
+  Visited(size_t bits, const std::vector<int32_t>* arena_, int n_)
+      : hashes(1ull << bits, 0),
+        nodes(1ull << bits, -1),
+        mask((1ull << bits) - 1),
+        arena(arena_),
+        n(n_) {}
+
+  static uint64_t hash_state(const int32_t* s, int n) {
+    uint64_t h = 1469598103934665603ull;
+    for (int i = 0; i < n; i++) {
+      h ^= (uint32_t)s[i];
+      h *= 1099511628211ull;
+      h ^= h >> 29;
+    }
+    return h ? h : 1;
+  }
+
+  // Returns true if inserted (new); false if already present.
+  bool insert(const int32_t* s, int32_t node_idx) {
+    const uint64_t h = hash_state(s, n);
+    uint64_t slot = h & mask;
+    while (true) {
+      if (nodes[slot] < 0) {
+        hashes[slot] = h;
+        nodes[slot] = node_idx;
+        return true;
+      }
+      if (hashes[slot] == h &&
+          std::memcmp(arena->data() + (size_t)nodes[slot] * n, s,
+                      n * sizeof(int32_t)) == 0)
+        return false;
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+// Two-level bucket queue: novelty tier (0..2) x integer rgd value, LIFO
+// within a bucket; infinite-rgd states go to an overflow tier popped last.
+struct BucketQueue {
+  std::vector<std::vector<std::vector<int32_t>>> tiers; // [tier][rgd] -> nodes
+  std::vector<int32_t> overflow;
+  size_t count = 0;
+
+  BucketQueue() : tiers(3) {}
+
+  void push(int32_t node, float novelty, float rgd) {
+    count++;
+    if (rgd == kInf) { overflow.push_back(node); return; }
+    const int tier = (int)novelty - 1;
+    const size_t r = (size_t)rgd;
+    auto& t = tiers[tier];
+    if (t.size() <= r) t.resize(r + 1);
+    t[r].push_back(node);
+  }
+
+  int32_t pop() {
+    for (auto& tier : tiers)
+      for (auto& bucket : tier)
+        if (!bucket.empty()) {
+          const int32_t v = bucket.back();
+          bucket.pop_back();
+          count--;
+          return v;
+        }
+    const int32_t v = overflow.back();
+    overflow.pop_back();
+    count--;
+    return v;
+  }
+
+  bool empty() const { return count == 0; }
+};
+
+}  // namespace
+
+namespace {
+
+Puzzle make_puzzle(int32_t n, int32_t H, int32_t W, int32_t delta,
+                   const uint8_t* static_block, const uint8_t* push,
+                   const int32_t* init_xy, const int32_t* goal_xy,
+                   int32_t num_goals) {
+  const int K = 2 * delta + 1;
+  const int HW = H * W;
+  Puzzle pz;
+  pz.n = n; pz.H = H; pz.W = W; pz.HW = HW; pz.num_goals = num_goals;
+  pz.static_block.assign(static_block, static_block + (size_t)4 * n * HW);
+  pz.contacts.assign((size_t)4 * n * n, {});
+  for (int a = 0; a < 4; a++)
+    for (int q = 0; q < n; q++)
+      for (int o = 0; o < n; o++) {
+        auto& lst = pz.contacts[(a * n + q) * n + o];
+        const uint8_t* base = push + ((((size_t)a * n + q) * n + o) * K) * K;
+        for (int ry = 0; ry < K; ry++)
+          for (int rx = 0; rx < K; rx++)
+            if (base[ry * K + rx])
+              lst.push_back({(int16_t)(rx - delta), (int16_t)(ry - delta)});
+      }
+  pz.init_state.resize(n);
+  for (int i = 0; i < n; i++)
+    pz.init_state[i] = init_xy[2 * i + 1] * W + init_xy[2 * i];
+  pz.goal_pos.resize(num_goals);
+  for (int k = 0; k < num_goals; k++)
+    pz.goal_pos[k] = goal_xy[2 * k + 1] * W + goal_xy[2 * k];
+  return pz;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API
+
+extern "C" {
+
+// Computes the feasible-movement fixpoint; writes E as 4*n*HW bytes
+// (E[a][o][p] = 1 iff transition feasible).  Returns 0 on success.
+int32_t pw_build_graphs(int32_t n, int32_t H, int32_t W, int32_t delta,
+                        const uint8_t* static_block, const uint8_t* push,
+                        const int32_t* init_xy, uint8_t* out_E) {
+  if (n <= 0 || n > 31 || H <= 0 || W <= 0) return -4;
+  const Puzzle pz = make_puzzle(n, H, W, delta, static_block, push, init_xy,
+                                nullptr, 0);
+  const MovementGraphs g = build_graphs(pz);
+  const size_t HW = (size_t)H * W;
+  for (int a = 0; a < 4; a++)
+    for (int o = 0; o < n; o++)
+      std::memcpy(out_E + ((size_t)a * n + o) * HW, g.E[a * n + o].data(), HW);
+  return 0;
+}
+
+// Returns plan length (>= 0), -1 no solution, -2 budget exhausted,
+// -3 plan buffer too small, -4 invalid arguments.
+int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
+                 const uint8_t* static_block, const uint8_t* push,
+                 const int32_t* init_xy, const int32_t* goal_xy,
+                 int32_t num_goals, int32_t use_novelty, double time_limit,
+                 int64_t max_expansions, int32_t* out_plan, int64_t out_cap,
+                 int64_t* out_expansions) {
+  using Clock = std::chrono::steady_clock;
+  const auto t_start = Clock::now();
+  const auto deadline =
+      t_start + std::chrono::duration_cast<Clock::duration>(
+                    std::chrono::duration<double>(
+                        time_limit > 0 ? time_limit : 1e9));
+
+  if (n <= 0 || n > 31 || H <= 0 || W <= 0) return -4;
+  const Puzzle pz = make_puzzle(n, H, W, delta, static_block, push, init_xy,
+                                goal_xy, num_goals);
+  const int num_goals_ = num_goals;
+  (void)num_goals_;
+
+  auto is_goal = [&](const int32_t* s) {
+    for (int k = 0; k < num_goals; k++)
+      if (s[k + 1] != pz.goal_pos[k]) return false;
+    return true;
+  };
+
+  if (is_goal(pz.init_state.data())) { if (out_expansions) *out_expansions = 0; return 0; }
+
+  RGD rgd(pz);
+  Novelty novelty(n);
+
+  // Node arena: states (n ints each) + parent/action records.
+  std::vector<int32_t> arena;
+  std::vector<int32_t> parents;
+  std::vector<int8_t> actions;
+  arena.reserve((size_t)n * 1 << 20);
+
+  auto add_node = [&](const int32_t* s, int32_t parent, int8_t action) {
+    const int32_t idx = (int32_t)parents.size();
+    arena.insert(arena.end(), s, s + n);
+    parents.push_back(parent);
+    actions.push_back(action);
+    return idx;
+  };
+
+  Visited visited(22, &arena, n);
+  BucketQueue frontier;
+
+  const int32_t root = add_node(pz.init_state.data(), -1, -1);
+  visited.insert(pz.init_state.data(), root);
+  {
+    const float nov = novelty.estimate(pz.init_state.data(), (1u << n) - 1);
+    const float h = rgd.estimate(pz.init_state.data());
+    if (use_novelty) frontier.push(root, nov, h);
+    else frontier.push(root, 1.f, h);
+  }
+
+  // Deterministic action orders: xorshift-selected permutations remove
+  // action-order bias (reference semantics: random_action_iterator.cc —
+  // fixed-seed pre-shuffled permutations, cycled).
+  static const int kPerms[24][4] = {
+      {0,1,2,3},{0,1,3,2},{0,2,1,3},{0,2,3,1},{0,3,1,2},{0,3,2,1},
+      {1,0,2,3},{1,0,3,2},{1,2,0,3},{1,2,3,0},{1,3,0,2},{1,3,2,0},
+      {2,0,1,3},{2,0,3,1},{2,1,0,3},{2,1,3,0},{2,3,0,1},{2,3,1,0},
+      {3,0,1,2},{3,0,2,1},{3,1,0,2},{3,1,2,0},{3,2,0,1},{3,2,1,0}};
+  uint64_t perm_state = 0x9E3779B97F4A7C15ull;
+
+  int64_t expansions = 0;
+  std::vector<int32_t> child(n);
+
+  while (!frontier.empty()) {
+    if (max_expansions > 0 && expansions >= max_expansions) return -2;
+    if ((expansions & 0xFF) == 0 && Clock::now() > deadline) return -2;
+    const int32_t node = frontier.pop();
+    const int32_t* state = arena.data() + (size_t)node * n;
+    expansions++;
+
+    perm_state ^= perm_state << 13; perm_state ^= perm_state >> 7;
+    perm_state ^= perm_state << 17;
+    const int* order = kPerms[perm_state % 24];
+
+    // Copy parent state: arena may reallocate when children are added.
+    int32_t parent_state[32];
+    std::memcpy(parent_state, state, n * sizeof(int32_t));
+
+    for (int ai = 0; ai < 4; ai++) {
+      const int a = order[ai];
+      uint32_t moved = 0;
+      if (!step(pz, parent_state, a, child.data(), &moved)) continue;
+      const int32_t idx = (int32_t)parents.size();
+      if (!visited.insert(child.data(), idx)) continue;
+      const int32_t cidx = add_node(child.data(), node, (int8_t)a);
+      if (is_goal(child.data())) {
+        // Backtrack.
+        std::vector<int32_t> plan;
+        int32_t cur = cidx;
+        while (actions[cur] >= 0) {
+          plan.push_back(actions[cur]);
+          cur = parents[cur];
+        }
+        if ((int64_t)plan.size() > out_cap) return -3;
+        for (size_t i = 0; i < plan.size(); i++)
+          out_plan[i] = plan[plan.size() - 1 - i];
+        if (out_expansions) *out_expansions = expansions;
+        return (int64_t)plan.size();
+      }
+      const float h = rgd.estimate(child.data());
+      const float nov = use_novelty ? novelty.estimate(child.data(), moved) : 1.f;
+      frontier.push(cidx, nov, h);
+    }
+  }
+  if (out_expansions) *out_expansions = expansions;
+  return -1;
+}
+
+}  // extern "C"

@@ -70,6 +70,30 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _movement_graphs_host(puzzle: Puzzle, cp: CompiledPuzzle) -> np.ndarray:
+    """E (4, N, H, W) bool via the native fixpoint (Python worklist
+    fallback when the native library is unavailable)."""
+    N = cp.n
+    n = puzzle.num_movables
+    E = np.zeros((4, N, cp.height, cp.width), bool)
+    try:
+        from pushworld_tpu.native import bridge
+
+        E[:, :n] = bridge.build_graphs_native(puzzle, cp).astype(bool)
+        return E
+    except Exception:
+        from pushworld_tpu.search.heuristics_host import MovementGraphs
+
+        graphs = MovementGraphs(puzzle, cp)
+        disp = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        for o, edges in enumerate(graphs.edges):
+            for p, succs in edges.items():
+                for q in succs:
+                    a = disp.index((q[0] - p[0], q[1] - p[1]))
+                    E[a, o, p[1], p[0]] = True
+        return E
+
+
 def build_rgd_tables(
     puzzle: Puzzle,
     cp: CompiledPuzzle,
@@ -80,15 +104,15 @@ def build_rgd_tables(
 
     ``cmax_pad`` / ``max_goals`` pad the contact lists and goal loop bound to
     a bucket-wide value so puzzles in one bucket share compiled kernels."""
-    E, _ = build_reachability(cp)
     N, H, W = cp.n, cp.height, cp.width
 
-    # One-time distance tables are built on host (C BFS): the device
-    # wavefront kernels are exact too but compile pathologically slowly on
-    # some TPU toolchains (see ops/graphs.py:host_graph_distances).
+    # One-time precompute runs entirely on host: the native C worklist for
+    # the movement-graph fixpoint and C BFS for distances.  The device
+    # kernels (ops/graphs.py) compute identical results (differentially
+    # tested) but compile pathologically slowly on some TPU toolchains.
     from pushworld_tpu.ops.graphs import host_distance_to_targets, host_graph_distances
 
-    E_np = np.asarray(E)
+    E_np = _movement_graphs_host(puzzle, cp)
     D = jnp.asarray(np.stack([host_graph_distances(E_np[:, o]) for o in range(N)]))
 
     DG_list = []
@@ -100,6 +124,7 @@ def build_rgd_tables(
         else:
             DG_list.append(np.full((H, W), float(INF), np.float32))
     DG = jnp.asarray(np.stack(DG_list))
+    E = jnp.asarray(E_np)
 
     # Compact contact offsets from the dense push tables.
     push = np.asarray(cp.push)  # (4, pusher, pushee, K, K)

@@ -15,11 +15,14 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
 from pushworld_tpu.core.puzzle import Puzzle
 
-# Pad ladders (next value >= requirement is chosen).
-_N_LADDER = [2, 3, 4, 6, 8, 12, 16, 20]
-_DIM_LADDER = [10, 14, 18, 24, 32, 42, 56]
-_DELTA_LADDER = [3, 5, 8, 12, 18, 26]
-_CMAX_LADDER = [4, 8, 16, 32, 64, 128, 256]
+# Pad ladders (next value >= requirement is chosen).  Deliberately coarse:
+# per-bucket kernel compilation is the dominant fixed cost (~1 min on the
+# TPU toolchain), while over-padding is cheap at search time, so few big
+# buckets beat many tight ones.  Grids are padded square.
+_N_LADDER = [4, 8, 12, 20]
+_DIM_LADDER = [16, 24, 40, 56]
+_DELTA_LADDER = [6, 12, 28]
+_CMAX_LADDER = [16, 64, 256]
 
 
 def _pad(ladder: List[int], value: int) -> int:
@@ -41,10 +44,9 @@ def bucket_key(puzzle: Puzzle, max_depth: int) -> Tuple[int, int, int, int, int]
     from pushworld_tpu.core.compiled import compile_puzzle as _cpz
 
     n = _pad(_N_LADDER, puzzle.num_movables)
-    h = _pad(_DIM_LADDER, puzzle.height)
-    w = _pad(_DIM_LADDER, puzzle.width)
+    dim = _pad(_DIM_LADDER, max(puzzle.height, puzzle.width))
     d = _pad(_DELTA_LADDER, compute_delta(puzzle))
-    return (n, h, w, d, max_depth)
+    return (n, dim, dim, d, max_depth)
 
 
 def solve_puzzle(

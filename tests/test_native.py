@@ -1,0 +1,63 @@
+"""Native C++ planner tests: solves fixtures with validated plans, agrees
+with the host oracle on no-solution, and respects budgets."""
+
+import os
+
+import pytest
+
+from pushworld_tpu.core.puzzle import Puzzle
+
+native = pytest.importorskip("pushworld_tpu.native")
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native planner not buildable"
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "simple",
+        "chain",
+        "push_left",
+        "multi_goal",
+        "lshape",
+        "heur/trivial",
+        "heur/trivial_tool",
+        "heur/trivial_tool2",
+        "heur/transitive_pushing",
+        "heur/necessary_transitive_pushing1",
+        "heur/shortest_path_tool",
+        "heur/two_tools",
+    ],
+)
+@pytest.mark.parametrize("mode", ["RGD", "N+RGD"])
+def test_native_solves_fixtures(puzzles_dir, name, mode):
+    p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+    plan = native.solve_native(p, mode=mode, max_expansions=500000)
+    assert plan is not None
+    assert p.is_valid_plan(plan) or (p.is_goal_state(p.initial_state) and plan == [])
+
+
+def test_native_no_solution(puzzles_dir):
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    assert native.solve_native(p, max_expansions=500000) is None
+
+
+def test_native_budget(puzzles_dir):
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "heur", "shortest_path_tool.pwp"))
+    with pytest.raises(TimeoutError):
+        native.solve_native(p, max_expansions=1)
+
+
+def test_native_agrees_with_host_on_benchmark_sample():
+    from pushworld_tpu import config
+    from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
+
+    if not os.path.isdir(config.BENCHMARK_PUZZLES_PATH):
+        pytest.skip("benchmark dataset not available")
+    paths = get_puzzle_file_paths(os.path.join(config.BENCHMARK_PUZZLES_PATH, "level1"))
+    for name in sorted(paths)[:8]:
+        p = Puzzle.from_file(paths[name])
+        plan = native.solve_native(p, time_limit=30)
+        assert plan is not None and p.is_valid_plan(plan), name
