@@ -31,7 +31,7 @@ from pushworld_tpu.core.compiled import CompiledPuzzle
 # Displacements indexed by action: (dx, dy).
 DISPLACEMENTS = ((-1, 0), (1, 0), (0, -1), (0, 1))
 
-INF = jnp.float32(1e9)
+INF = 1e9  # plain float: host code must never sync a device scalar
 
 
 def _shift2d(x: jax.Array, dx: int, dy: int, fill=False) -> jax.Array:

@@ -35,7 +35,7 @@ from pushworld_tpu.ops.graphs import (
     distance_to_targets,
 )
 
-INF = jnp.float32(1e9)
+INF = 1e9  # plain float: host code must never sync a device scalar
 FINITE_THRESHOLD = 1e8
 
 DISPLACEMENTS_NP = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], np.int32)

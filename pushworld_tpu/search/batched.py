@@ -45,7 +45,7 @@ from pushworld_tpu.ops.novelty import NoveltyTables, init_novelty, novelty_score
 from pushworld_tpu.ops.rgd import FINITE_THRESHOLD, RGDTables, build_rgd_tables, rgd_heuristic
 from pushworld_tpu.ops.step import is_goal_state, step
 
-EMPTY = jnp.float32(3e30)
+EMPTY = 3e30  # plain float: host code must never sync a device scalar
 NOVELTY_WEIGHT = 1e6
 
 

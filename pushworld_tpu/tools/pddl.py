@@ -203,10 +203,13 @@ def puzzle_to_pddl(name: str, puzzle: Puzzle, for_bfws: bool = False) -> Tuple[s
         obstacles = agent_obstacles if i == AGENT_IDX else puzzle.wall_cells
         obj_free = []
         free_positions.append(obj_free)
-        for x, y in itertools.product(
-            range(width - 1 - w_obj), range(height - 1 - h_obj)
-        ):
-            if _cells_overlap(cells, obstacles, (x + 1, y + 1)):
+        # Deviation from the reference exporter (pddl.py:276-286): positions
+        # where a multi-cell object would stick into the outer border are
+        # enumerated as wall collisions too — the reference omits them
+        # entirely, leaving `push` into such positions unblocked (unsound).
+        for x, y in itertools.product(range(width - 2), range(height - 2)):
+            out_of_range = x > width - 2 - w_obj or y > height - 2 - h_obj
+            if out_of_range or _cells_overlap(cells, obstacles, (x + 1, y + 1)):
                 wall_collisions += (
                     f"        (wall-collision {object_names[i]} pos{x}-{y})\n"
                 )

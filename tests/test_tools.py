@@ -225,3 +225,84 @@ def test_run_planner_cli(puzzles_dir, capsys):
     rc = main(["N+RGD", os.path.join(puzzles_dir, "no_solution.pwp"), "--planner", "host"])
     assert rc == 0
     assert "NO SOLUTION" in capsys.readouterr().out
+
+
+def test_pddl_atoms_encode_exact_dynamics(puzzles_dir):
+    """Re-simulates the exported ground atoms (wall-collision, in-collision,
+    connected) as the PDDL push cascade and checks the resulting transitions
+    against the exact dynamics on random walks (reference analog:
+    test_pddl.py re-simulates Fast Downward plans)."""
+    import re
+
+    import numpy as np
+
+    from pushworld_tpu.tools.pddl import puzzle_to_pddl
+
+    for fixture in ["chain", "multi_goal", "lshape", "heur/trivial_tool"]:
+        p = Puzzle.from_file(os.path.join(puzzles_dir, fixture + ".pwp"))
+        _, problem = puzzle_to_pddl("t", p)
+
+        wall = set()
+        for m in re.finditer(r"\(wall-collision (\S+) pos(\d+)-(\d+)\)", problem):
+            wall.add((m.group(1), int(m.group(2)), int(m.group(3))))
+        coll = set()
+        for m in re.finditer(
+            r"\(in-collision (\S+) pos(\d+)-(\d+) (\S+) pos(\d+)-(\d+)\)", problem
+        ):
+            coll.add(
+                (m.group(1), int(m.group(2)), int(m.group(3)),
+                 m.group(4), int(m.group(5)), int(m.group(6)))
+            )
+
+        names = ["agent"] + [f"m{i}" for i in range(1, p.num_movables)]
+        disp = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+        def pddl_next(state, a):
+            # state: content coords (x-1, y-1).  Simulate the push cascade:
+            # move-agent marks the agent should-move; each push action moves
+            # one object and marks contacts.  Mirrors the conditional-effect
+            # semantics of the exported domain.
+            dx, dy = disp[a]
+            positions = list(state)
+            should_move = {0}
+            moved = set()
+            while should_move:
+                i = should_move.pop()
+                if i in moved:
+                    continue
+                x, y = positions[i]
+                nx, ny = x + dx, y + dy
+                # Off-grid moves have no `connected` atom; border collisions
+                # appear as wall-collision atoms: either way the cascade is
+                # stuck.
+                cw, ch = p.dimensions[0] - 2, p.dimensions[1] - 2
+                if not (0 <= nx < cw and 0 <= ny < ch):
+                    return None
+                if (names[i], nx, ny) in wall:
+                    return None  # push precondition fails -> cascade stuck
+                # grid bounds = connected atoms; border handled via wall atoms
+                positions[i] = (nx, ny)
+                moved.add(i)
+                for j in range(len(names)):
+                    if j in moved or j == i:
+                        continue
+                    key = (names[i], nx, ny, names[j],
+                           positions[j][0], positions[j][1])
+                    if key in coll:
+                        should_move.add(j)
+            return tuple(positions)
+
+        rng = np.random.RandomState(0)
+        state = p.initial_state
+        for _ in range(60):
+            a = int(rng.randint(0, 4))
+            nxt = p.get_next_state(state, a)
+            content = tuple((x - 1, y - 1) for x, y in state)
+            sim = pddl_next(content, a)
+            if nxt == state:
+                # Nothing moves exactly when the PDDL cascade gets stuck.
+                assert sim is None or sim == content, (fixture, state, a)
+            else:
+                expected = tuple((x - 1, y - 1) for x, y in nxt)
+                assert sim == expected, (fixture, state, a)
+            state = nxt
