@@ -368,3 +368,23 @@ class NoveltyHeuristic:
                     if novelty > 2.0:
                         novelty = 2.0
         return novelty
+
+
+class WeightedSumHeuristic:
+    """Linear combination of heuristics; with a large weight on a
+    small-range heuristic this yields a lexicographic ordering (the planner
+    stacks novelty over RGD with weight 1e6).
+    reference: cpp/src/heuristics/weighted_sum.cc:27-47, run_planner.cc:48-55.
+
+    Components are ``(callable, weight)`` pairs; each callable takes
+    ``(state, moved_object_indices)``.
+    """
+
+    def __init__(self, heuristics_and_weights):
+        self._components = list(heuristics_and_weights)
+
+    def estimate(self, state, moved_object_indices) -> float:
+        total = 0.0
+        for fn, weight in self._components:
+            total += weight * fn(state, moved_object_indices)
+        return total

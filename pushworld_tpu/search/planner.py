@@ -133,6 +133,36 @@ def plan_puzzles(
             goals_req = max(goals_req, puzzle.num_goals)
         cmax = _pad(_CMAX_LADDER, cmax_req)
 
+        # Warm up this bucket's compiled kernels on the first puzzle so that
+        # per-puzzle budgets measure search, not one-time compilation.
+        from pushworld_tpu.search.batched import run_chunk
+
+        first_name, first_puzzle, _ = group[0]
+        warm_tables = build_rgd_tables(
+            first_puzzle, cps[first_name], cmax_pad=cmax, max_goals=goals_req
+        )
+        warm_planner = BatchedPlanner(
+            first_puzzle,
+            cp=cps[first_name],
+            tables=warm_tables,
+            expand=expand,
+            frontier_capacity=frontier_capacity,
+            visited_bits=visited_bits,
+            history_capacity=history_capacity,
+            max_depth=depth,
+            use_novelty=(mode == "N+RGD"),
+        )
+        import jax as _jax
+
+        # chunk must match solve()'s default: the chunk size is a static
+        # argument, so a different value would compile a second program.
+        _jax.block_until_ready(
+            run_chunk(
+                cps[first_name], warm_tables, warm_planner.config,
+                warm_planner.init_state(), 32,
+            ).frontier_h
+        )
+
         for name, puzzle, _ in group:
             t0 = time.monotonic()
             tables = build_rgd_tables(
