@@ -15,14 +15,25 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
 from pushworld_tpu.core.puzzle import Puzzle
 
-# Pad ladders (next value >= requirement is chosen).  Deliberately coarse:
-# per-bucket kernel compilation is the dominant fixed cost (~1 min on the
-# TPU toolchain), while over-padding is cheap at search time, so few big
-# buckets beat many tight ones.  Grids are padded square.
-_N_LADDER = [4, 8, 12, 20]
-_DIM_LADDER = [16, 24, 40, 56]
-_DELTA_LADDER = [6, 12, 28]
-_CMAX_LADDER = [16, 64, 256]
+# Shape profiles (n, dim, delta, cmax).  Kernel compilation per bucket is
+# the dominant fixed cost on the TPU toolchain (minutes), while over-padding
+# is cheap at search time — so exactly TWO profiles cover the benchmark: a
+# puzzle gets the small one when it fits, else the large one.  Only the RGD
+# pushing depth (0..2) splits buckets further.
+_PROFILES = [
+    (8, 24, 12, 64),   # covers ~60% of the published benchmark
+    (20, 56, 28, 256),  # covers everything (bounds from SURVEY.md §6)
+]
+_CMAX_LADDER = [p[3] for p in _PROFILES]
+
+
+def _profile_for(n: int, dim: int, delta: int) -> Tuple[int, int, int, int]:
+    for p in _PROFILES:
+        if n <= p[0] and dim <= p[1] and delta <= p[2]:
+            return p
+    # Outside every profile (puzzles larger than the published benchmark):
+    # fall back to exact shapes (own bucket).
+    return (n, dim, delta, _CMAX_LADDER[-1])
 
 
 def _pad(ladder: List[int], value: int) -> int:
@@ -43,9 +54,11 @@ def bucket_key(puzzle: Puzzle, max_depth: int) -> Tuple[int, int, int, int, int]
 
     from pushworld_tpu.core.compiled import compile_puzzle as _cpz
 
-    n = _pad(_N_LADDER, puzzle.num_movables)
-    dim = _pad(_DIM_LADDER, max(puzzle.height, puzzle.width))
-    d = _pad(_DELTA_LADDER, compute_delta(puzzle))
+    n, dim, d, _ = _profile_for(
+        puzzle.num_movables,
+        max(puzzle.height, puzzle.width),
+        compute_delta(puzzle),
+    )
     return (n, dim, dim, d, max_depth)
 
 
