@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pushworld_tpu.core.compiled import CompiledPuzzle
 from pushworld_tpu.ops.step import count_achieved_goals, is_goal_state, step
@@ -87,7 +88,7 @@ class VectorEnv:
         achieved = self._vmap(count_achieved_goals)(cp, positions)
         return EnvState(
             positions=positions,
-            steps=jnp.zeros((batch_size,), jnp.int32),
+            steps=jnp.asarray(np.zeros((batch_size,), np.int32)),
             achieved=achieved.astype(jnp.int32),
             puzzle_idx=idx,
         )

@@ -121,7 +121,7 @@ def build_reachability(cp: CompiledPuzzle, max_iters: int = 512):
         return carry[2] & (carry[3] < max_iters)
 
     E0 = jnp.zeros((4, N, H, W), jnp.bool_)
-    carry = (E0, init_onehot, jnp.bool_(True), jnp.int32(0))
+    carry = (E0, init_onehot, np.bool_(True), np.int32(0))
     E, reached, _, _ = jax.lax.while_loop(cond, body, carry)
     return E, reached
 
@@ -242,7 +242,7 @@ def distance_to_targets(
     cap = min(max_iters, H * W + 8)
     d0 = jnp.where(targets, 0.0, INF)
     d, _, _ = jax.lax.while_loop(
-        lambda c: c[1] & (c[2] < cap), body, (d0, jnp.bool_(True), jnp.int32(0))
+        lambda c: c[1] & (c[2] < cap), body, (d0, np.bool_(True), np.int32(0))
     )
     return d
 
@@ -274,7 +274,7 @@ def all_pairs_distances(E_o: jax.Array) -> jax.Array:
         return best, jnp.any(best != d), i + 1
 
     d, _, _ = jax.lax.while_loop(
-        lambda c: c[1] & (c[2] < HW + 8), body, (d0, jnp.bool_(True), jnp.int32(0))
+        lambda c: c[1] & (c[2] < HW + 8), body, (d0, np.bool_(True), np.int32(0))
     )
     # d[t, y, x] = dist((x, y) -> t).  Return D[s, t].
     return jnp.transpose(d.reshape(HW, HW))

@@ -20,6 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -56,10 +57,10 @@ def fingerprint(states: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
     flat = (states[..., 1] * width + states[..., 0]).astype(jnp.uint32)  # (..., N)
 
     def fold(carry, mult, xorc):
-        h = jnp.full(flat.shape[:-1], carry, jnp.uint32)
+        h = jnp.asarray(np.full(flat.shape[:-1], carry, np.uint32))
         n = flat.shape[-1]
         for i in range(n):
-            h = (jnp.bitwise_xor(h, flat[..., i] + jnp.uint32(xorc))) * jnp.uint32(mult)
+            h = (jnp.bitwise_xor(h, flat[..., i] + np.uint32(xorc))) * np.uint32(mult)
             h = jnp.bitwise_xor(h, h >> 13)
         return h
 
@@ -67,7 +68,7 @@ def fingerprint(states: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
     hi = fold(0xCBF29CE4, 0x85EBCA6B, 0x27D4EB2F)
     # Avoid the (0, 0) sentinel.
     zero = (lo == 0) & (hi == 0)
-    lo = jnp.where(zero, jnp.uint32(1), lo)
+    lo = jnp.where(zero, np.uint32(1), lo)
     return lo, hi
 
 
@@ -79,14 +80,14 @@ def dedup_batch(lo: jax.Array, hi: jax.Array, valid: jax.Array) -> jax.Array:
     occurrence of their key (invalid entries -> False)."""
     # No uint64 on TPU: lexsort the two uint32 lanes (invalid entries pushed
     # to the end with the all-ones key).
-    lo2 = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
-    hi2 = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
+    lo2 = jnp.where(valid, lo, np.uint32(0xFFFFFFFF))
+    hi2 = jnp.where(valid, hi, np.uint32(0xFFFFFFFF))
     order = jnp.lexsort((lo2, hi2))
     s_lo = lo2[order]
     s_hi = hi2[order]
     first_sorted = jnp.concatenate(
         [
-            jnp.ones((1,), jnp.bool_),
+            jnp.asarray(np.ones((1,), bool)),
             (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1]),
         ]
     )
@@ -110,8 +111,8 @@ def probe_and_insert(
         (and is now inserted).  Within-batch duplicates must be removed
         beforehand (see :func:`dedup_batch`).
     """
-    cap_mask = jnp.uint32(2 ** hs.capacity_bits - 1)
-    slot = ((lo ^ (hi * jnp.uint32(0x9E3779B1))) & cap_mask).astype(jnp.int32)
+    cap_mask = np.uint32(2 ** hs.capacity_bits - 1)
+    slot = ((lo ^ (hi * np.uint32(0x9E3779B1))) & cap_mask).astype(jnp.int32)
 
     found = jnp.zeros_like(valid)
     inserted = jnp.zeros_like(valid)
@@ -119,7 +120,7 @@ def probe_and_insert(
 
     key_lo, key_hi = hs.key_lo, hs.key_hi
     # Out-of-range index + mode="drop" discards writes of non-attempting lanes.
-    dummy = jnp.int32(2 ** hs.capacity_bits)
+    dummy = np.int32(2 ** hs.capacity_bits)
     for _ in range(N_PROBES):
         cur_lo = key_lo[slot]
         cur_hi = key_hi[slot]

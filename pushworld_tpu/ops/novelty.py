@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -56,14 +57,14 @@ def init_novelty(n: int, height: int, width: int, pair_bits: int = 24) -> Novelt
 
 def _pair_hash(i, j, pi, pj, bits):
     """Deterministic mix of (object pair, positions) into a bucket index."""
-    h = (i.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) ^ (
-        j.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    h = (i.astype(jnp.uint32) * np.uint32(0x9E3779B1)) ^ (
+        j.astype(jnp.uint32) * np.uint32(0x85EBCA77)
     )
-    h = h ^ (pi.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
-    h = h ^ (pj.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
-    h = h * jnp.uint32(0x165667B1)
+    h = h ^ (pi.astype(jnp.uint32) * np.uint32(0xC2B2AE3D))
+    h = h ^ (pj.astype(jnp.uint32) * np.uint32(0x27D4EB2F))
+    h = h * np.uint32(0x165667B1)
     h = h ^ (h >> 15)
-    return (h & jnp.uint32(2 ** bits - 1)).astype(jnp.int32)
+    return (h & np.uint32(2 ** bits - 1)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=())
@@ -79,13 +80,13 @@ def novelty_score_and_update(
     flat = jnp.clip(flat, 0, t.height * t.width - 1)
 
     # --- novelty 1: moved object at unseen position.
-    pos_seen = t.seen_pos[jnp.arange(N)[None, :], flat]  # (B, N)
+    pos_seen = t.seen_pos[np.arange(N)[None, :], flat]  # (B, N)
     nov1 = jnp.any(moved & ~pos_seen, axis=1)
 
     # --- novelty 2: (moved i, any j != i) unseen position pair, keyed with
     # the smaller object index first (reference: novelty.cc:47-73).
-    ii = jnp.arange(N)[:, None]
-    jj = jnp.arange(N)[None, :]
+    ii = np.arange(N)[:, None]
+    jj = np.arange(N)[None, :]
     lo = jnp.minimum(ii, jj)
     hi = jnp.maximum(ii, jj)
     p_lo = flat[:, lo]  # (B, N, N)
@@ -105,7 +106,7 @@ def novelty_score_and_update(
 
     # --- absorb: mark positions of moved objects and active pairs seen.
     upd_mask = moved & valid[:, None]
-    seen_pos = t.seen_pos.at[jnp.arange(N)[None, :], flat].max(upd_mask)
+    seen_pos = t.seen_pos.at[np.arange(N)[None, :], flat].max(upd_mask)
     pair_upd = pair_active & valid[:, None, None]
     seen_pairs = t.seen_pairs.at[buckets.reshape(-1)].max(pair_upd.reshape(-1))
 

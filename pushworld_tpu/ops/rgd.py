@@ -155,7 +155,7 @@ def build_rgd_tables(
         contacts_mask=jnp.asarray(contacts_mask),
         goal_pos=jnp.asarray(cp.goal_pos),
         goal_mask=jnp.asarray(cp.goal_mask),
-        n_real=jnp.int32(puzzle.num_movables),
+        n_real=np.int32(puzzle.num_movables),
         n=N,
         max_goals=max_goals if max_goals is not None else puzzle.num_goals,
         height=H,
@@ -214,34 +214,34 @@ def _tool_push_cost(t: RGDTables, states, o, a, p, skip_mask, inner_cost_fn):
     B = states.shape[0]
     N = t.n
     HW = t.width * t.height
-    d_a = jnp.asarray(DISPLACEMENTS_NP[a])
+    d_a = DISPLACEMENTS_NP[a]
 
     Q = states  # (B, N, 2) candidate pusher positions (per object)
     rel = t.contacts[a, :, o]  # (N, C, 2) pusher q at pushee + rel
     mask = t.contacts_mask[a, :, o]  # (N, C)
     c = p[:, None, None, :] + rel[None, :, :, :]  # (B, N, C, 2)
-    q_idx = jnp.arange(N)[None, :, None]
+    q_idx = np.arange(N)[None, :, None]
     feasible = _gather_E(t, a, q_idx, c) & mask[None]  # (B, N, C)
 
     c_flat = jnp.clip(_flat(t, c), 0, HW - 1)  # (B, N, C)
     Q_flat = _flat(t, Q)  # (B, N)
 
     # Pusher next positions P' = Q + d_{a'} for each direction a'.
-    disp = jnp.asarray(DISPLACEMENTS_NP)  # (4, 2)
+    disp = DISPLACEMENTS_NP  # (4, 2)
     P_next = Q[:, :, None, :] + disp[None, None, :, :]  # (B, N, 4, 2)
-    next_ok = _gather_E(t, jnp.arange(4)[None, None, :], jnp.arange(N)[None, :, None], Q[:, :, None, :])
+    next_ok = _gather_E(t, np.arange(4)[None, None, :], np.arange(N)[None, :, None], Q[:, :, None, :])
     # next_ok: (B, N, 4) — E[a', q, Q]: q's transition in direction a' feasible.
     P_next_flat = jnp.clip(_flat(t, P_next), 0, HW - 1)  # (B, N, 4)
 
     # dist_q(P', c) for every (q, a', contact): gather from D[q].
     # D: (N, HW, HW); indices: q, P'_flat (B,N,4,1), c_flat (B,N,1,C).
-    dist = t.D[jnp.arange(N)[None, :, None, None],
+    dist = t.D[np.arange(N)[None, :, None, None],
                P_next_flat[:, :, :, None],
                c_flat[:, :, None, :]]  # (B, N, 4, C)
 
     # Simultaneous push: contact == Q and a' == a.
     same_pos = jnp.all(c == Q[:, :, None, :], axis=-1)  # (B, N, C)
-    simultaneous = same_pos[:, :, None, :] & (jnp.arange(4)[None, None, :, None] == a)
+    simultaneous = same_pos[:, :, None, :] & (np.arange(4)[None, None, :, None] == a)
     base = jnp.where(simultaneous, 0.0, dist + 1.0)  # (B, N, 4, C)
     base = jnp.where(feasible[:, :, None, :], base, INF)
     base = jnp.where(next_ok[:, :, :, None], base, INF)
@@ -251,7 +251,8 @@ def _tool_push_cost(t: RGDTables, states, o, a, p, skip_mask, inner_cost_fn):
 
     total = base_min + inner  # (B, N, 4)
     # Valid pushers: movables 1..n_real-1, not the pushee, not skipped.
-    valid_q = (jnp.arange(N) >= 1) & (jnp.arange(N) < t.n_real) & (jnp.arange(N) != o)
+    rng_n = np.arange(N)
+    valid_q = (rng_n >= 1) & (rng_n < t.n_real) & (rng_n != o)
     valid_q = valid_q[None, :] & ~skip_mask  # (B, N)
     total = jnp.where(valid_q[:, :, None], total, INF)
     return jnp.min(total, axis=(1, 2))
@@ -271,7 +272,7 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
     mask = t.contacts_mask[:, 0, :, :]  # (4, N, C)
     Q = states  # (B, N, 2)
     c = Q[:, None, :, None, :] + rel[None, :, :, :, :]  # (B, 4, N, C, 2)
-    a_idx = jnp.arange(4)[None, :, None, None]
+    a_idx = np.arange(4)[None, :, None, None]
     feasible = _gather_E(t, a_idx, 0, c) & mask[None]  # (B, 4, N, C)
     c_flat = jnp.clip(_flat(t, c), 0, HW - 1)
     dist = t.D[0][c_flat, A_flat[:, None, None, None]]  # dist(c -> A) == dist(A -> c)
@@ -295,7 +296,7 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
         (B,) float32; unreachable goals yield values >= 1e9.
     """
     B = states.shape[0]
-    total = jnp.zeros((B,), jnp.float32)
+    total = jnp.asarray(np.zeros((B,), np.float32))
 
     for k in range(t.max_goals):
         o = k + 1
@@ -323,7 +324,7 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
                     else:  # depth == 2
                         def inner(Q, _, _o=o):
                             return _tool_push_cost_all_dirs_depth1(t, states, _o)
-                    skip = jnp.zeros((B, t.n), jnp.bool_)
+                    skip = np.zeros((B, t.n), bool)
                     pc = _tool_push_cost(t, states, o, a, p, skip, inner)
                 cost_dirs.append(jnp.where(e_ok, goal_dist + pc, INF))
             per_depth.append(jnp.minimum(
@@ -333,7 +334,7 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
 
         # fewest tools: first finite depth (depths beyond n_real - 2 are
         # invalid for this puzzle — reference iterates depth < n - 1).
-        cost = jnp.full((B,), INF)
+        cost = jnp.asarray(np.full((B,), INF, np.float32))
         for d, d_cost in enumerate(per_depth):
             d_cost = jnp.where(d <= t.n_real - 2, d_cost, INF)
             cost = jnp.where(cost < FINITE_THRESHOLD, cost, d_cost)
@@ -359,7 +360,8 @@ def _tool_push_cost_all_dirs_depth1(t: RGDTables, states, skip_o: int):
         # direction a_prime, with skip set {skip_o, q}.
         # Vectorize over q by reusing _tool_push_cost per q (N small).
         for q in range(N):
-            skip = jnp.zeros((B, N), jnp.bool_).at[:, skip_o].set(True)
+            skip = np.zeros((B, N), bool)
+            skip[:, skip_o] = True
 
             def inner(Qs, _):
                 return inner0

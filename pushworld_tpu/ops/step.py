@@ -23,10 +23,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pushworld_tpu.core.compiled import CompiledPuzzle
 
-DISPLACEMENTS = jnp.array([(-1, 0), (1, 0), (0, -1), (0, 1)], jnp.int32)
+# numpy, not jnp: device-array constants captured by traced code stall
+# MLIR lowering on remote-tunnel TPU backends (each constant is fetched).
+DISPLACEMENTS = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], np.int32)
 
 
 def _push_matrix(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
@@ -37,8 +40,8 @@ def _push_matrix(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax
     in_range = jnp.all(jnp.abs(rel) <= delta, axis=-1)
     idx = jnp.clip(rel + delta, 0, K - 1)
     table = cp.push[action]  # (N, N, K, K)
-    ii = jnp.arange(N)[:, None]
-    jj = jnp.arange(N)[None, :]
+    ii = np.arange(N)[:, None]
+    jj = np.arange(N)[None, :]
     m = table[ii, jj, idx[..., 1], idx[..., 0]]
     mask = cp.obj_mask[:, None] & cp.obj_mask[None, :]
     return m & in_range & mask
@@ -46,7 +49,9 @@ def _push_matrix(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax
 
 def _transitive_pushed(push_matrix: jax.Array, n: int) -> jax.Array:
     """(N,) bool: movables reachable from the agent via the push relation."""
-    reach = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    reach0 = np.zeros((n,), bool)
+    reach0[0] = True
+    reach = jnp.asarray(reach0)
     m = push_matrix.astype(jnp.float32)
     r = reach.astype(jnp.float32)
     steps = max(1, (n - 1).bit_length())
@@ -64,7 +69,7 @@ def step(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
     """
     x = state[..., 0]
     y = state[..., 1]
-    idx = jnp.arange(cp.n)
+    idx = np.arange(cp.n)
     blocked_static = cp.static_block[action, idx, y, x]  # (N,)
 
     m = _push_matrix(cp, state, action)
@@ -74,7 +79,7 @@ def step(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
     nothing_moves = blocked_static[0] | movable_blocked
 
     moved = pushed & ~nothing_moves & cp.obj_mask
-    disp = DISPLACEMENTS[action]
+    disp = jnp.asarray(DISPLACEMENTS)[action]
     return state + disp[None, :] * moved[:, None].astype(jnp.int32)
 
 

@@ -51,7 +51,7 @@ def _run_chunk_group(cps, tables, cfg: SearchConfig, states, chunk: int = 16):
             s, i = carry
             return _iterate(cp, t, cfg, s), i + 1
 
-        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        s, _ = jax.lax.while_loop(cond, body, (s, np.int32(0)))
         return s
 
     return jax.vmap(one)(cps, tables, states)

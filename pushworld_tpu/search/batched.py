@@ -152,7 +152,7 @@ class BatchedPlanner:
         )
         h = rgd_heuristic(t, init, max_depth=self.max_depth)
         if self.use_novelty:
-            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, jnp.float32(1e9))
+            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, np.float32(1e9))
 
         frontier_states = jnp.zeros((F, N, 2), jnp.int32).at[0].set(init[0])
         frontier_h = jnp.full((F,), EMPTY).at[0].set(h[0])
@@ -241,7 +241,7 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         frontier_h = s.frontier_h.at[sel].set(EMPTY)
 
         # 2. expand all 4 actions.
-        actions = jnp.tile(jnp.arange(4, dtype=jnp.int32)[:, None], (1, B)).reshape(-1)
+        actions = jnp.asarray(np.repeat(np.arange(4, dtype=np.int32), B))
         par4 = jnp.tile(parents, (4, 1, 1))  # (4B, N, 2)
         phist4 = jnp.tile(parent_hist, (4,))
         pvalid4 = jnp.tile(sel_valid, (4,))
@@ -282,7 +282,7 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         nov, novelty = novelty_score_and_update(s.novelty, children, moved, is_new)
         h = rgd_heuristic(t, children, max_depth=cfg.max_depth)
         if cfg.use_novelty:
-            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, jnp.float32(1e9))
+            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, np.float32(1e9))
         h = jnp.where(is_new, h, EMPTY)
 
         # 7. merge into the frontier (keep the F best).
@@ -319,7 +319,7 @@ def run_chunk(cp, tables, cfg: SearchConfig, s: SearchState, chunk: int = 32) ->
         s, i = carry
         return _iterate(cp, tables, cfg, s), i + 1
 
-    s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+    s, _ = jax.lax.while_loop(cond, body, (s, np.int32(0)))
     return s
 
 

@@ -186,3 +186,24 @@ def test_dm_env_contract(puzzles_dir):
     assert ts.last() and ts.reward == pytest.approx(10.0)
     # render returns float32/255 (reference: dm_env.py:244-251).
     assert env.render().dtype == np.float32
+
+
+def test_greedy_goal_distance_policy_solves_simple(puzzles_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.policies import make_greedy_policy
+    from pushworld_tpu.envs.vector_env import VectorEnv
+    from pushworld_tpu.ops.rgd import build_rgd_tables
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, "simple.pwp"))
+    cp = compile_puzzle(puzzle)
+    tables = build_rgd_tables(puzzle, cp)
+    env = VectorEnv(cp, max_steps=30)
+    policy = make_greedy_policy(cp, tables)
+
+    _, (rewards, terms) = env.rollout(
+        jax.random.PRNGKey(3), policy, batch_size=32, horizon=20
+    )
+    # Greedy goal-distance reaches the 2-step goal quickly in every rollout.
+    assert bool(np.asarray(terms).any(axis=0).all())
