@@ -6,6 +6,11 @@ best_first_search.h:81-91).  Here states are fingerprinted to 64 bits
 (two uint32 lanes) and stored in a linear-probing table entirely on device;
 batch insertion is a fixed number of probe rounds with masked scatters.
 
+Deletion is supported via tombstones so the planner can *un-visit* states
+evicted from its bounded frontier (otherwise an evicted state could never be
+re-generated, losing completeness — the reference's frontier is unbounded).
+Tombstoned slots terminate neither lookups nor insertions.
+
 Failure modes and their effect on the search (all benign for greedy search):
 - fingerprint collision (~2^-64 per pair): a genuinely new state is treated
   as visited — probability negligible for <= 10^8 states;
@@ -66,9 +71,11 @@ def fingerprint(states: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
 
     lo = fold(0x811C9DC5, 0x01000193, 0x9E3779B9)
     hi = fold(0xCBF29CE4, 0x85EBCA6B, 0x27D4EB2F)
-    # Avoid the (0, 0) sentinel.
+    # Avoid the empty (0, 0) and tombstone (~0, ~0) sentinels.
     zero = (lo == 0) & (hi == 0)
     lo = jnp.where(zero, np.uint32(1), lo)
+    tomb = (lo == np.uint32(0xFFFFFFFF)) & (hi == np.uint32(0xFFFFFFFF))
+    lo = jnp.where(tomb, np.uint32(0xFFFFFFFE), lo)
     return lo, hi
 
 
@@ -127,8 +134,10 @@ def probe_and_insert(
         match = remaining & (cur_lo == lo) & (cur_hi == hi)
         found = found | match
         remaining = remaining & ~match
-        empty = (cur_lo == 0) & (cur_hi == 0)
-        attempt = remaining & empty
+        free = ((cur_lo == 0) & (cur_hi == 0)) | (
+            (cur_lo == np.uint32(0xFFFFFFFF)) & (cur_hi == np.uint32(0xFFFFFFFF))
+        )
+        attempt = remaining & free
         # Write this round's attempts, then verify (same-slot races between
         # different keys leave exactly one winner; losers keep probing).
         w = jnp.where(attempt, slot, dummy)
@@ -143,3 +152,28 @@ def probe_and_insert(
     # new so the search explores them; they may be re-visited later.
     is_new = valid & ~found
     return is_new, HashSet(key_lo=key_lo, key_hi=key_hi, capacity_bits=hs.capacity_bits)
+
+
+@partial(jax.jit, static_argnames=())
+def probe_delete(
+    hs: HashSet, lo: jax.Array, hi: jax.Array, valid: jax.Array
+) -> HashSet:
+    """Removes keys from the table (tombstoning their slots).
+
+    Used to un-visit states evicted from the bounded search frontier so they
+    can be re-generated later.  Missing keys are ignored."""
+    cap_mask = np.uint32(2 ** hs.capacity_bits - 1)
+    slot = ((lo ^ (hi * np.uint32(0x9E3779B1))) & cap_mask).astype(jnp.int32)
+    dummy = np.int32(2 ** hs.capacity_bits)
+    key_lo, key_hi = hs.key_lo, hs.key_hi
+    remaining = valid
+    for _ in range(N_PROBES):
+        cur_lo = key_lo[slot]
+        cur_hi = key_hi[slot]
+        match = remaining & (cur_lo == lo) & (cur_hi == hi)
+        w = jnp.where(match, slot, dummy)
+        key_lo = key_lo.at[w].set(np.uint32(0xFFFFFFFF), mode="drop")
+        key_hi = key_hi.at[w].set(np.uint32(0xFFFFFFFF), mode="drop")
+        remaining = remaining & ~match
+        slot = (slot + 1) & cap_mask.astype(jnp.int32)
+    return HashSet(key_lo=key_lo, key_hi=key_hi, capacity_bits=hs.capacity_bits)

@@ -43,7 +43,7 @@ def _run_chunk_group(cps, tables, cfg: SearchConfig, states, chunk: int = 16):
     def one(cp, t, s):
         def cond(carry):
             s, i = carry
-            exhausted = jnp.min(s.frontier_h) >= EMPTY * 0.5
+            exhausted = jnp.min(s.frontier_h) >= EMPTY
             hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
             return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
 
@@ -142,7 +142,7 @@ def solve_group(
         solved = np.asarray(states_s.solved)
         h_min = np.asarray(jnp.min(states_s.frontier_h, axis=1))
         cursors = np.asarray(states_s.hist_cursor)
-        exhausted = h_min >= float(EMPTY) * 0.5
+        exhausted = h_min >= EMPTY
         hist_full = cursors >= history_capacity - 8 * expand
         active = ~solved & ~exhausted & ~hist_full
         if not active.any():
@@ -173,8 +173,11 @@ def solve_group(
                 results[name] = PlanResult(plan, elapsed, None)
             else:
                 results[name] = PlanResult(plan, elapsed, "invalid plan")
-        elif h_min[i] >= float(EMPTY) * 0.5:
-            results[name] = PlanResult(None, elapsed, "no solution")
+        elif h_min[i] >= EMPTY:
+            if int(np.asarray(states_s.evictions)[i]) == 0:
+                results[name] = PlanResult(None, elapsed, "no solution")
+            else:
+                results[name] = PlanResult(None, elapsed, "time limit")
         else:
             results[name] = PlanResult(None, elapsed, "time limit")
     return results

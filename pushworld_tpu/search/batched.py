@@ -40,13 +40,29 @@ from pushworld_tpu.ops.hashset import (
     fingerprint,
     init_hashset,
     probe_and_insert,
+    probe_delete,
 )
 from pushworld_tpu.ops.novelty import NoveltyTables, init_novelty, novelty_score_and_update
 from pushworld_tpu.ops.rgd import FINITE_THRESHOLD, RGDTables, build_rgd_tables, rgd_heuristic
 from pushworld_tpu.ops.step import is_goal_state, step
 
-EMPTY = 3e30  # plain float: host code must never sync a device scalar
-NOVELTY_WEIGHT = 1e6
+# Frontier priorities are int32 keys: novelty tier (2 bits) | clamped RGD
+# value (13 bits) | inverted recency (16 bits).  The recency bits make
+# expansion LIFO within equal (novelty, rgd) buckets — the depth-first
+# plateau behavior of the reference's bucket priority queue
+# (reference: priority_queue.h:43-222, LIFO within equal priority) — which
+# batched expansion otherwise loses (breadth-flooding plateaus).
+EMPTY = 0x7FFFFFFF  # int32 sentinel for a free frontier slot
+NOVELTY_WEIGHT = 1e6  # kept for API parity in docs; priorities use the int key
+
+
+def _priority(nov, rgd, hist_idx, use_novelty):
+    """int32 search key; smaller = expanded earlier."""
+    nov_i = nov.astype(jnp.int32) if use_novelty else jnp.ones_like(hist_idx)
+    # 8190 (not 8191): the all-ones key would collide with the EMPTY sentinel.
+    rgd_i = jnp.clip(rgd, 0.0, 8190.0).astype(jnp.int32)
+    recency = jnp.bitwise_and(jnp.bitwise_not(hist_idx), np.int32(0xFFFF))
+    return (nov_i << np.int32(29)) | (rgd_i << np.int32(16)) | recency
 
 
 from typing import NamedTuple
@@ -65,8 +81,10 @@ class SearchConfig(NamedTuple):
 @dataclass(frozen=True)
 class SearchState:
     frontier_states: jax.Array  # (F, N, 2) int32
-    frontier_h: jax.Array  # (F,) f32 (EMPTY = free slot)
+    frontier_h: jax.Array  # (F,) int32 priority keys (EMPTY = free slot)
     frontier_hist: jax.Array  # (F,) int32
+    frontier_lo: jax.Array  # (F,) uint32 — fingerprints (for eviction deletes)
+    frontier_hi: jax.Array  # (F,) uint32
     hist_parent: jax.Array  # (Hcap,) int32
     hist_action: jax.Array  # (Hcap,) int32
     hist_cursor: jax.Array  # int32 scalar
@@ -76,6 +94,7 @@ class SearchState:
     solved_hist: jax.Array  # int32 scalar
     iterations: jax.Array  # int32 scalar
     expansions: jax.Array  # int32 scalar
+    evictions: jax.Array  # int32 scalar — states dropped by the capacity bound
 
 
 jax.tree_util.register_dataclass(
@@ -84,6 +103,8 @@ jax.tree_util.register_dataclass(
         "frontier_states",
         "frontier_h",
         "frontier_hist",
+        "frontier_lo",
+        "frontier_hi",
         "hist_parent",
         "hist_action",
         "hist_cursor",
@@ -93,6 +114,7 @@ jax.tree_util.register_dataclass(
         "solved_hist",
         "iterations",
         "expansions",
+        "evictions",
     ],
     meta_fields=[],
 )
@@ -151,17 +173,20 @@ class BatchedPlanner:
             novelty, init, moved, jnp.ones((1,), bool)
         )
         h = rgd_heuristic(t, init, max_depth=self.max_depth)
-        if self.use_novelty:
-            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, np.float32(1e9))
+        prio = _priority(nov, h, jnp.asarray(np.zeros((1,), np.int32)), self.use_novelty)
 
         frontier_states = jnp.zeros((F, N, 2), jnp.int32).at[0].set(init[0])
-        frontier_h = jnp.full((F,), EMPTY).at[0].set(h[0])
+        frontier_h = jnp.full((F,), EMPTY, jnp.int32).at[0].set(prio[0])
         frontier_hist = jnp.zeros((F,), jnp.int32)
+        frontier_lo = jnp.zeros((F,), jnp.uint32).at[0].set(lo[0])
+        frontier_hi = jnp.zeros((F,), jnp.uint32).at[0].set(hi[0])
 
         return SearchState(
             frontier_states=frontier_states,
             frontier_h=frontier_h,
             frontier_hist=frontier_hist,
+            frontier_lo=frontier_lo,
+            frontier_hi=frontier_hi,
             hist_parent=jnp.full((self.history_capacity,), -1, jnp.int32),
             hist_action=jnp.full((self.history_capacity,), -1, jnp.int32),
             hist_cursor=jnp.int32(1),
@@ -173,6 +198,7 @@ class BatchedPlanner:
             solved_hist=jnp.int32(0),
             iterations=jnp.int32(0),
             expansions=jnp.int32(0),
+            evictions=jnp.int32(0),
         )
 
     # ------------------------------------------------------------------- cfg
@@ -207,9 +233,13 @@ class BatchedPlanner:
             s = run_chunk(self.cp, self.tables, cfg, s, chunk)
             if bool(s.solved):
                 break
-            exhausted = float(jnp.min(s.frontier_h)) >= float(EMPTY) * 0.5
+            exhausted = int(jnp.min(s.frontier_h)) >= EMPTY
             if exhausted:
-                return None
+                if int(s.evictions) == 0:
+                    return None  # complete search: truly no solution
+                # Capacity evictions pruned states that cannot be
+                # re-generated from an empty frontier: inconclusive.
+                raise TimeoutError("frontier exhausted after evictions")
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("time budget exhausted")
             if max_expansions is not None and int(s.expansions) >= max_expansions:
@@ -235,10 +265,10 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
 
         # 1. select the B best frontier entries.
         neg, sel = jax.lax.top_k(-s.frontier_h, B)
-        sel_valid = -neg < EMPTY * 0.5  # occupied slots only
+        sel_valid = -neg < EMPTY  # occupied slots only
         parents = s.frontier_states[sel]  # (B, N, 2)
         parent_hist = s.frontier_hist[sel]  # (B,)
-        frontier_h = s.frontier_h.at[sel].set(EMPTY)
+        frontier_h = s.frontier_h.at[sel].set(np.int32(EMPTY))
 
         # 2. expand all 4 actions.
         actions = jnp.asarray(np.repeat(np.arange(4, dtype=np.int32), B))
@@ -280,20 +310,30 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
 
         # 6. score new children.
         nov, novelty = novelty_score_and_update(s.novelty, children, moved, is_new)
-        h = rgd_heuristic(t, children, max_depth=cfg.max_depth)
-        if cfg.use_novelty:
-            h = NOVELTY_WEIGHT * nov + jnp.minimum(h, np.float32(1e9))
-        h = jnp.where(is_new, h, EMPTY)
+        rgd = rgd_heuristic(t, children, max_depth=cfg.max_depth)
+        h = _priority(nov, rgd, hist_idx, cfg.use_novelty)
+        h = jnp.where(is_new, h, np.int32(EMPTY))
 
-        # 7. merge into the frontier (keep the F best).
+        # 7. merge into the frontier (keep the F best); states evicted by
+        # the capacity bound are DELETED from the visited set so they can be
+        # re-generated later (the reference frontier is unbounded; without
+        # this, an evicted state on the only path to the goal would be lost
+        # forever).
         all_h = jnp.concatenate([frontier_h, h])
         all_states = jnp.concatenate([s.frontier_states, children])
         all_hist = jnp.concatenate([s.frontier_hist, hist_idx])
+        all_lo = jnp.concatenate([s.frontier_lo, lo])
+        all_hi = jnp.concatenate([s.frontier_hi, hi])
         neg_top, keep = jax.lax.top_k(-all_h, F)
+        kept_mask = jnp.asarray(np.zeros((all_h.shape[0],), bool)).at[keep].set(True)
+        evicted = (all_h < EMPTY) & ~kept_mask
+        visited = probe_delete(visited, all_lo, all_hi, evicted)
         return SearchState(
             frontier_states=all_states[keep],
             frontier_h=-neg_top,
             frontier_hist=all_hist[keep],
+            frontier_lo=all_lo[keep],
+            frontier_hi=all_hi[keep],
             hist_parent=hist_parent,
             hist_action=hist_action,
             hist_cursor=hist_cursor,
@@ -303,6 +343,7 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
             solved_hist=solved_hist,
             iterations=s.iterations + 1,
             expansions=s.expansions + jnp.sum(sel_valid.astype(jnp.int32)),
+            evictions=s.evictions + jnp.sum(evicted.astype(jnp.int32)),
         )
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
@@ -311,7 +352,7 @@ def run_chunk(cp, tables, cfg: SearchConfig, s: SearchState, chunk: int = 32) ->
 
     def cond(carry):
         s, i = carry
-        exhausted = jnp.min(s.frontier_h) >= EMPTY * 0.5
+        exhausted = jnp.min(s.frontier_h) >= EMPTY
         hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
         return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
 
