@@ -207,3 +207,48 @@ def test_greedy_goal_distance_policy_solves_simple(puzzles_dir):
     )
     # Greedy goal-distance reaches the 2-step goal quickly in every rollout.
     assert bool(np.asarray(terms).any(axis=0).all())
+
+
+def test_device_cell_renderer(puzzles_dir):
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.render import (
+        compile_render_tables,
+        render_cells_class,
+        render_cells_onehot,
+        render_cells_rgb,
+    )
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "multi_goal.pwp"))
+    cp = compile_puzzle(p)
+    tables = compile_render_tables(p, cp)
+    state = jnp.asarray(cp.init_state)
+    grid = np.asarray(render_cells_class(tables, state))
+
+    # Border walls, agent, goal object, plain movable, goal outline cells.
+    assert grid[0, 0] == 1
+    ax, ay = p.initial_state[0]
+    assert grid[ay, ax] == 3
+    m0x, m0y = p.initial_state[1]
+    assert grid[m0y, m0x] == 4
+    m1x, m1y = p.initial_state[2]
+    assert grid[m1y, m1x] == 4  # multi_goal's m1 is also a goal object
+    g1x, g1y = p.goal_state[1]
+    assert grid[g1y, g1x] == 6  # unoccupied goal cell shows the goal class
+
+    rgb = np.asarray(render_cells_rgb(tables, state))
+    assert rgb.shape == (cp.height, cp.width, 3) and rgb.dtype == np.uint8
+    onehot = np.asarray(render_cells_onehot(tables, state))
+    assert onehot.shape == (cp.height, cp.width, 6)
+    assert onehot[0, 0, 0] == 1.0  # wall channel
+    assert onehot[ay, ax, 2] == 1.0  # agent channel
+    # Empty cells are all-zero.
+    assert onehot[4, 3].sum() == 0 or grid[4, 3] != 0
+
+    # A plain (non-goal) movable renders class 5.
+    p2 = Puzzle.from_file(os.path.join(puzzles_dir, "chain.pwp"))
+    cp2 = compile_puzzle(p2)
+    t2 = compile_render_tables(p2, cp2)
+    g2 = np.asarray(render_cells_class(t2, jnp.asarray(cp2.init_state)))
+    mx, my = p2.initial_state[2]
+    assert g2[my, mx] == 5
