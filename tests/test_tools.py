@@ -306,3 +306,21 @@ def test_pddl_atoms_encode_exact_dynamics(puzzles_dir):
                 expected = tuple((x - 1, y - 1) for x, y in nxt)
                 assert sim == expected, (fixture, state, a)
             state = nxt
+
+
+def test_benchmark_harness_time_limit(tmp_path, puzzles_dir):
+    """Timeouts record planning_time == time_limit (reference:
+    benchmark_rgd.py:94-97) and failure_reason 'time limit'."""
+    from pushworld_tpu.tools.benchmark import benchmark_planner
+
+    results = benchmark_planner(
+        puzzles_path=os.path.join(puzzles_dir, "heur", "shortest_path_tool.pwp"),
+        results_path=str(tmp_path / "results"),
+        time_limit=0.0,
+        planner="host",
+        progress=False,
+    )
+    doc = yaml.safe_load(open(tmp_path / "results" / "shortest_path_tool.yaml"))
+    assert doc["plan"] is None
+    assert doc["failure_reason"] == "time limit"
+    assert doc["planning_time"] == 0.0
