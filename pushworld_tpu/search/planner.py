@@ -49,6 +49,92 @@ class PlanResult:
     expansions: int = 0
 
 
+def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
+    """Races the native serial planner (host thread; the ctypes call
+    releases the GIL) against the batched device search.  Returns the first
+    plan found, None only when BOTH prove no solution is possible, and
+    raises TimeoutError when the budget expires."""
+    import concurrent.futures as cf
+
+    import jax as _jax
+    import numpy as _np
+
+    from pushworld_tpu.search.batched import EMPTY, run_chunk
+
+    def native_job():
+        from pushworld_tpu.native import bridge
+
+        return bridge.solve_native(
+            puzzle, compiled=cp, mode=mode, time_limit=time_limit
+        )
+
+    native_available = True
+    try:
+        from pushworld_tpu.native import bridge
+
+        native_available = bridge.is_available()
+    except Exception:
+        native_available = False
+
+    if not native_available:
+        return planner.solve(time_limit=time_limit)
+
+    if puzzle.is_goal_state(puzzle.initial_state):
+        return []
+
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(native_job)
+    ex.shutdown(wait=False)
+
+    deadline = None if time_limit is None else time.monotonic() + time_limit
+    s = planner.init_state()
+    cfg = planner.config
+    device_dead = None  # None = running; otherwise its terminal outcome
+    try:
+        while True:
+            if fut.done():
+                try:
+                    plan = fut.result()
+                except TimeoutError:
+                    plan = False  # native budget exhausted: keep device going
+                except Exception:
+                    plan = False
+                if plan is not False:
+                    if plan is not None and puzzle.is_valid_plan(plan):
+                        return plan
+                    if plan is None:
+                        return None  # native search is complete
+                fut = None
+            if device_dead is None:
+                s = run_chunk(planner.cp, planner.tables, cfg, s, 32)
+                if bool(s.solved):
+                    parent = _np.asarray(s.hist_parent)
+                    action = _np.asarray(s.hist_action)
+                    idx = int(s.solved_hist)
+                    plan = []
+                    while idx > 0:
+                        plan.append(int(action[idx]))
+                        idx = int(parent[idx])
+                    plan.reverse()
+                    return plan
+                if int(_jax.numpy.min(s.frontier_h)) >= EMPTY:
+                    device_dead = (
+                        "no solution" if int(s.evictions) == 0 else "inconclusive"
+                    )
+                    if device_dead == "no solution":
+                        return None
+                elif int(s.hist_cursor) >= cfg.history_capacity - 8 * cfg.expand:
+                    device_dead = "history full"
+            elif fut is None:
+                raise TimeoutError("both portfolio members exhausted budgets")
+            else:
+                time.sleep(0.05)
+            if deadline is not None and time.monotonic() > deadline:
+                raise TimeoutError("time budget exhausted")
+    finally:
+        pass
+
+
 def bucket_key(puzzle: Puzzle, max_depth: int) -> Tuple[int, int, int, int, int]:
     import numpy as np
 
@@ -111,9 +197,16 @@ def plan_puzzles(
     visited_bits: int = 21,
     history_capacity: int = 1 << 21,
     progress: bool = False,
+    portfolio: bool = True,
 ) -> Dict[str, PlanResult]:
     """Solves many puzzles with the batched device planner, grouped into
-    shape buckets so compiled kernels are shared within each bucket."""
+    shape buckets so compiled kernels are shared within each bucket.
+
+    With ``portfolio=True`` (default) the native serial planner races the
+    device search on a host thread per puzzle — a heterogeneous CPU+TPU
+    portfolio: the serial planner's strict sequential novelty ordering wins
+    on ordering-sensitive instances, the batched device search wins on
+    instances needing massive exploration; the first valid plan is taken."""
     from pushworld_tpu.search.batched import (
         BatchedPlanner,
         required_depth,
@@ -198,7 +291,12 @@ def plan_puzzles(
                     if time_limit is None
                     else max(0.5, time_limit - (time.monotonic() - t0))
                 )
-                plan = planner.solve(time_limit=remaining)
+                if portfolio:
+                    plan = _portfolio_solve(
+                        planner, puzzle, cps[name], mode, remaining
+                    )
+                else:
+                    plan = planner.solve(time_limit=remaining)
                 dt = time.monotonic() - t0
                 if plan is None:
                     results[name] = PlanResult(None, dt, "no solution")
