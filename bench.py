@@ -5,10 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline: benchmark puzzles solved per second by the batched device planner
 (N+RGD) under a per-puzzle 60 s budget, on a level-1 subset.  ``vs_baseline``
-compares against the serial host planner (this framework's exact
-reimplementation of the reference C++ planner's algorithm — greedy best-first
-with novelty + fewest-tools RGD; reference: cpp/src/run_planner.cc:37-61) on
-the same puzzles and budget.
+compares against this framework's native C++ serial planner alone (the
+stand-in for the reference C++ RGD planner — same algorithm class: greedy
+best-first, novelty + fewest-tools RGD, reference: cpp/src/run_planner.cc:
+37-61) on the same puzzles and budget.  The headline planner is the
+heterogeneous portfolio (batched TPU search racing the native planner).
 
 Environment overrides:
   PUSHWORLD_BENCH_COUNT   number of puzzles (default 16)
@@ -37,6 +38,7 @@ def main():
 
     from pushworld_tpu import config
     from pushworld_tpu.core.puzzle import Puzzle
+    from pushworld_tpu.native import is_available, solve_native
     from pushworld_tpu.search.host_planner import solve_host
     from pushworld_tpu.search.planner import plan_puzzles
     from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
@@ -53,12 +55,16 @@ def main():
         1 for n in names if results[n].failure_reason is None
     )
 
-    # --- host baseline on the same protocol.
+    # --- native serial baseline on the same protocol.
     t0 = time.monotonic()
     host_solved = 0
+    use_native = is_available()
     for n, p in named:
         try:
-            plan = solve_host(p, mode="N+RGD", time_limit=budget)
+            if use_native:
+                plan = solve_native(p, mode="N+RGD", time_limit=budget)
+            else:
+                plan = solve_host(p, mode="N+RGD", time_limit=budget)
             if plan is not None and (plan == [] or p.is_valid_plan(plan)):
                 host_solved += 1
         except TimeoutError:
