@@ -8,6 +8,7 @@ amortizes compilation across the benchmark — the reference has no analog
 """
 
 import bisect
+import os
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -87,8 +88,10 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
     ex.shutdown(wait=False)
 
     deadline = None if time_limit is None else time.monotonic() + time_limit
+    debug = bool(os.environ.get("PW_DEBUG"))
     s = planner.init_state()
     cfg = planner.config
+    chunks = 0
     device_dead = None  # None = running; otherwise its terminal outcome
     try:
         while True:
@@ -106,7 +109,15 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
                         return None  # native search is complete
                 fut = None
             if device_dead is None:
+                if debug:
+                    print(f"    [chunk {chunks} start]", flush=True)
                 s = run_chunk(planner.cp, planner.tables, cfg, s, 32)
+                chunks += 1
+                if debug:
+                    print(
+                        f"    [chunk {chunks} done iters={int(s.iterations)}]",
+                        flush=True,
+                    )
                 if bool(s.solved):
                     parent = _np.asarray(s.hist_parent)
                     action = _np.asarray(s.hist_action)
