@@ -144,3 +144,35 @@ def test_batched_no_solution(puzzles_dir):
         time_limit=120,
     )
     assert plan is None
+
+
+def test_probe_delete_unvisits():
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.hashset import (
+        fingerprint,
+        init_hashset,
+        probe_and_insert,
+        probe_delete,
+    )
+
+    rng = np.random.RandomState(3)
+    states = rng.randint(0, 30, size=(32, 4, 2)).astype(np.int32)
+    lo, hi = fingerprint(jnp.asarray(states), width=32)
+    valid = jnp.ones((32,), bool)
+
+    hs = init_hashset(8)
+    is_new, hs = probe_and_insert(hs, lo, hi, valid)
+    assert np.asarray(is_new).all()
+
+    # Delete half, then re-insert everything: only the deleted half is new.
+    del_mask = jnp.asarray(np.arange(32) < 16)
+    hs = probe_delete(hs, lo, hi, del_mask)
+    is_new2, hs = probe_and_insert(hs, lo, hi, valid)
+    got = np.asarray(is_new2)
+    assert got[:16].all()
+    assert not got[16:].any()
+
+    # Tombstoned slots are reusable and lookups skip over them.
+    is_new3, hs = probe_and_insert(hs, lo, hi, valid)
+    assert not np.asarray(is_new3).any()
