@@ -46,7 +46,7 @@ class RGDTables:
     """Precomputed per-puzzle tensors for batched RGD evaluation."""
 
     E: jax.Array  # bool (4, N, H, W)
-    D: jax.Array  # f32 (N, HW, HW) all-pairs distances per object
+    D: jax.Array  # uint16 (N, HW, HW) all-pairs distances (65535 = INF)
     DG: jax.Array  # f32 (N, H, W) distance-to-goal fields (goal rows only)
     contacts: jax.Array  # int32 (4, N, N, C, 2) rel offsets (rx, ry)
     contacts_mask: jax.Array  # bool (4, N, N, C)
@@ -113,7 +113,10 @@ def build_rgd_tables(
     from pushworld_tpu.ops.graphs import host_distance_to_targets, host_graph_distances
 
     E_np = _movement_graphs_host(puzzle, cp)
-    D = jnp.asarray(np.stack([host_graph_distances(E_np[:, o]) for o in range(N)]))
+    # uint16 distances halve the per-puzzle table transfer (the large shape
+    # profile's D is ~400 MB); 65535 encodes infinity.
+    D_f = np.stack([host_graph_distances(E_np[:, o]) for o in range(N)])
+    D = jnp.asarray(np.where(D_f >= FINITE_THRESHOLD, 65535, D_f).astype(np.uint16))
 
     DG_list = []
     for o in range(N):
@@ -164,6 +167,12 @@ def build_rgd_tables(
     )
 
 
+def _d_f32(d_u16: jax.Array) -> jax.Array:
+    """uint16 distance -> float32 with 65535 decoded as INF."""
+    d = d_u16.astype(jnp.float32)
+    return jnp.where(d_u16 == np.uint16(65535), np.float32(INF), d)
+
+
 def _flat(t: RGDTables, pos: jax.Array) -> jax.Array:
     """(..., 2) int position -> flat index y*W + x."""
     return pos[..., 1] * t.width + pos[..., 0]
@@ -192,7 +201,7 @@ def _agent_push_cost(t: RGDTables, states, o, a, p):
     feasible = _gather_E(t, a, 0, c) & mask[None, :]  # (B, C)
     c_flat = jnp.clip(_flat(t, c), 0, t.width * t.height - 1)
     A_flat = _flat(t, A)  # (B,)
-    dist = t.D[0][c_flat, A_flat[:, None]]  # (B, C) dist(c -> A)
+    dist = _d_f32(t.D[0][c_flat, A_flat[:, None]])  # (B, C) dist(c -> A)
     # Agent graph edges are symmetric (adjacent valid placements), so
     # dist(A -> c) == dist(c -> A); gathering by row c vectorizes better.
     same = jnp.all(c == A[:, None, :], axis=-1)
@@ -235,9 +244,11 @@ def _tool_push_cost(t: RGDTables, states, o, a, p, skip_mask, inner_cost_fn):
 
     # dist_q(P', c) for every (q, a', contact): gather from D[q].
     # D: (N, HW, HW); indices: q, P'_flat (B,N,4,1), c_flat (B,N,1,C).
-    dist = t.D[np.arange(N)[None, :, None, None],
-               P_next_flat[:, :, :, None],
-               c_flat[:, :, None, :]]  # (B, N, 4, C)
+    dist = _d_f32(
+        t.D[np.arange(N)[None, :, None, None],
+            P_next_flat[:, :, :, None],
+            c_flat[:, :, None, :]]
+    )  # (B, N, 4, C)
 
     # Simultaneous push: contact == Q and a' == a.
     same_pos = jnp.all(c == Q[:, :, None, :], axis=-1)  # (B, N, C)
@@ -275,7 +286,7 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
     a_idx = np.arange(4)[None, :, None, None]
     feasible = _gather_E(t, a_idx, 0, c) & mask[None]  # (B, 4, N, C)
     c_flat = jnp.clip(_flat(t, c), 0, HW - 1)
-    dist = t.D[0][c_flat, A_flat[:, None, None, None]]  # dist(c -> A) == dist(A -> c)
+    dist = _d_f32(t.D[0][c_flat, A_flat[:, None, None, None]])  # symmetric agent graph
     same = jnp.all(c == A[:, None, None, None, :], axis=-1)
     v = jnp.where(same, 0.0, dist)
     v = jnp.where(feasible, v, INF)
