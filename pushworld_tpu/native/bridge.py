@@ -59,7 +59,8 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -76,11 +77,16 @@ def solve_native(
     compiled=None,
     mode: str = "N+RGD",
     time_limit: Optional[float] = None,
+    mem_limit_gb: float = 16.0,
     max_expansions: int = 0,
     plan_capacity: int = 1 << 16,
 ) -> Optional[List[int]]:
     """Solves with the native planner.  Returns the plan, None for no
-    solution, or raises TimeoutError / RuntimeError."""
+    solution, or raises TimeoutError / MemoryError / RuntimeError.
+
+    ``mem_limit_gb`` mirrors the reference benchmark protocol's 30 GB
+    address-space rlimit (reference: utils/process.py:61-71) as an
+    in-process cap on the search's dominant allocations."""
     from pushworld_tpu.core.compiled import compile_puzzle
 
     lib = _load()
@@ -109,6 +115,7 @@ def solve_native(
         puzzle.num_goals,
         1 if mode == "N+RGD" else 0,
         -1.0 if time_limit is None else float(time_limit),
+        float(mem_limit_gb),
         int(max_expansions),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         plan_capacity,
@@ -120,6 +127,8 @@ def solve_native(
         return None
     if rc == -2:
         raise TimeoutError("native planner budget exhausted")
+    if rc == -5:
+        raise MemoryError("native planner memory limit exhausted")
     raise RuntimeError(f"native planner error {rc}")
 
 

@@ -393,6 +393,7 @@ struct Visited {
   std::vector<uint64_t> hashes;
   std::vector<int32_t> nodes; // node index per slot (-1 empty)
   uint64_t mask;
+  size_t count = 0;
   const std::vector<int32_t>* arena;
   int n;
 
@@ -413,14 +414,40 @@ struct Visited {
     return h ? h : 1;
   }
 
+  size_t mem_bytes() const {
+    return hashes.capacity() * sizeof(uint64_t) +
+           nodes.capacity() * sizeof(int32_t);
+  }
+
+  // Doubles the table; a fixed-capacity open-addressing table would probe
+  // forever once full (the search loop's deadline check never runs inside
+  // insert), so growth is mandatory for long searches.
+  void grow() {
+    const size_t new_cap = (mask + 1) * 2;
+    std::vector<uint64_t> old_hashes(new_cap, 0);
+    std::vector<int32_t> old_nodes(new_cap, -1);
+    old_hashes.swap(hashes);
+    old_nodes.swap(nodes);
+    mask = new_cap - 1;
+    for (size_t i = 0; i < old_nodes.size(); i++) {
+      if (old_nodes[i] < 0) continue;
+      uint64_t slot = old_hashes[i] & mask;
+      while (nodes[slot] >= 0) slot = (slot + 1) & mask;
+      hashes[slot] = old_hashes[i];
+      nodes[slot] = old_nodes[i];
+    }
+  }
+
   // Returns true if inserted (new); false if already present.
   bool insert(const int32_t* s, int32_t node_idx) {
+    if (count * 2 >= mask + 1) grow();
     const uint64_t h = hash_state(s, n);
     uint64_t slot = h & mask;
     while (true) {
       if (nodes[slot] < 0) {
         hashes[slot] = h;
         nodes[slot] = node_idx;
+        count++;
         return true;
       }
       if (hashes[slot] == h &&
@@ -525,13 +552,17 @@ int32_t pw_build_graphs(int32_t n, int32_t H, int32_t W, int32_t delta,
 }
 
 // Returns plan length (>= 0), -1 no solution, -2 budget exhausted,
-// -3 plan buffer too small, -4 invalid arguments.
-int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
+// -3 plan buffer too small, -4 invalid arguments, -5 memory limit.
+static int64_t pw_solve_impl(
+                 int32_t n, int32_t H, int32_t W, int32_t delta,
                  const uint8_t* static_block, const uint8_t* push,
                  const int32_t* init_xy, const int32_t* goal_xy,
                  int32_t num_goals, int32_t use_novelty, double time_limit,
-                 int64_t max_expansions, int32_t* out_plan, int64_t out_cap,
+                 double mem_limit_gb, int64_t max_expansions,
+                 int32_t* out_plan, int64_t out_cap,
                  int64_t* out_expansions) {
+  const size_t mem_limit_bytes =
+      (size_t)((mem_limit_gb > 0 ? mem_limit_gb : 16.0) * 1e9);
   using Clock = std::chrono::steady_clock;
   const auto t_start = Clock::now();
   const auto deadline =
@@ -570,7 +601,9 @@ int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
     return idx;
   };
 
-  Visited visited(22, &arena, n);
+  // Start small and double on load: easy puzzles avoid zeroing a huge
+  // table every call, hard searches grow as far as the memory cap allows.
+  Visited visited(16, &arena, n);
   BucketQueue frontier;
 
   const int32_t root = add_node(pz.init_state.data(), -1, -1);
@@ -597,7 +630,15 @@ int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
 
   while (!frontier.empty()) {
     if (max_expansions > 0 && expansions >= max_expansions) return -2;
-    if ((expansions & 0xFF) == 0 && Clock::now() > deadline) return -2;
+    if ((expansions & 0xFF) == 0) {
+      if (Clock::now() > deadline) return -2;
+      // Reference-protocol analog of the 30 GB address-space rlimit
+      // (utils/process.py:61-71): cap the search's dominant allocations.
+      const size_t bytes = arena.capacity() * sizeof(int32_t) +
+                           parents.capacity() * sizeof(int32_t) +
+                           actions.capacity() + visited.mem_bytes();
+      if (bytes > mem_limit_bytes) return -5;
+    }
     const int32_t node = frontier.pop();
     const int32_t* state = arena.data() + (size_t)node * n;
     expansions++;
@@ -638,6 +679,24 @@ int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
   }
   if (out_expansions) *out_expansions = expansions;
   return -1;
+}
+
+int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
+                 const uint8_t* static_block, const uint8_t* push,
+                 const int32_t* init_xy, const int32_t* goal_xy,
+                 int32_t num_goals, int32_t use_novelty, double time_limit,
+                 double mem_limit_gb, int64_t max_expansions,
+                 int32_t* out_plan, int64_t out_cap,
+                 int64_t* out_expansions) {
+  try {
+    return pw_solve_impl(n, H, W, delta, static_block, push, init_xy, goal_xy,
+                         num_goals, use_novelty, time_limit, mem_limit_gb,
+                         max_expansions, out_plan, out_cap, out_expansions);
+  } catch (const std::bad_alloc&) {
+    return -5;
+  } catch (...) {
+    return -6;
+  }
 }
 
 }  // extern "C"

@@ -61,3 +61,32 @@ def test_native_agrees_with_host_on_benchmark_sample():
         p = Puzzle.from_file(paths[name])
         plan = native.solve_native(p, time_limit=30)
         assert plan is not None and p.is_valid_plan(plan), name
+
+
+def test_native_visited_growth_honors_budget():
+    """Regression: a fixed-capacity visited table probed forever once full
+    (the deadline check lives in the expansion loop, not inside insert).
+    A hard instance driven past the initial table capacity must still
+    return cleanly on its expansion budget."""
+    from pushworld_tpu import config
+
+    path = os.path.join(config.BENCHMARK_PUZZLES_PATH, "level2", "Boulders.pwp")
+    if not os.path.isfile(path):
+        pytest.skip("benchmark dataset not available")
+    p = Puzzle.from_file(path)
+    # 300k expansions insert far more than the 2^16 initial slots.
+    with pytest.raises(TimeoutError):
+        native.solve_native(p, mode="N+RGD", max_expansions=300_000)
+
+
+def test_native_memory_limit():
+    """An absurdly small memory cap classifies as a memory error, the
+    in-process analog of the reference's RLIMIT_AS (utils/process.py:61-71)."""
+    from pushworld_tpu import config
+
+    path = os.path.join(config.BENCHMARK_PUZZLES_PATH, "level2", "Boulders.pwp")
+    if not os.path.isfile(path):
+        pytest.skip("benchmark dataset not available")
+    p = Puzzle.from_file(path)
+    with pytest.raises(MemoryError):
+        native.solve_native(p, mode="N+RGD", time_limit=30, mem_limit_gb=0.001)
