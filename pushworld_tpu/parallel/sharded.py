@@ -41,18 +41,20 @@ def _run_chunk_group(cps, tables, cfg: SearchConfig, states, chunk: int = 16):
     solved/history prefixes are sticky)."""
 
     def one(cp, t, s):
-        def cond(carry):
-            s, i = carry
-            exhausted = jnp.min(s.frontier_h) >= EMPTY
-            hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
-            return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
+        # Fixed trip count with a cond-gated body: a data-dependent
+        # while_loop condition costs ~19 ms/iteration on the axon TPU
+        # platform (see search/batched.py run_chunk).
+        def body(i, s):
+            active = (
+                (~s.solved)
+                & (jnp.min(s.frontier_h) < EMPTY)
+                & (s.hist_cursor < cfg.history_capacity - 8 * cfg.expand)
+            )
+            return jax.lax.cond(
+                active, lambda s: _iterate(cp, t, cfg, s), lambda s: s, s
+            )
 
-        def body(carry):
-            s, i = carry
-            return _iterate(cp, t, cfg, s), i + 1
-
-        s, _ = jax.lax.while_loop(cond, body, (s, np.int32(0)))
-        return s
+        return jax.lax.fori_loop(0, chunk, body, s)
 
     return jax.vmap(one)(cps, tables, states)
 
@@ -135,13 +137,20 @@ def solve_group(
     )
     cps_s, tables_s, states_s = put(cps_s), put(tables_s), put(states_s)
 
+    from pushworld_tpu.search.batched import search_status
+
+    status_group = jax.jit(jax.vmap(search_status))
+
     t0 = time.monotonic()
     deadline = None if time_limit is None else t0 + time_limit
     while True:
         states_s = _run_chunk_group(cps_s, tables_s, cfg, states_s, chunk)
-        solved = np.asarray(states_s.solved)
-        h_min = np.asarray(jnp.min(states_s.frontier_h, axis=1))
-        cursors = np.asarray(states_s.hist_cursor)
+        # One packed (G, 7) readback per chunk: each separate scalar/array
+        # readback costs a ~25 ms tunnel round-trip on the axon platform.
+        stat = np.asarray(status_group(states_s))
+        solved = stat[:, 0].astype(bool)
+        h_min = stat[:, 2]
+        cursors = stat[:, 3]
         exhausted = h_min >= EMPTY
         hist_full = cursors >= history_capacity - 8 * expand
         active = ~solved & ~exhausted & ~hist_full

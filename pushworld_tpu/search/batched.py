@@ -120,6 +120,82 @@ jax.tree_util.register_dataclass(
 )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "frontier_capacity",
+        "visited_bits",
+        "history_capacity",
+        "solved0",
+    ),
+)
+def _init_state_jit(
+    cp,
+    t,
+    cfg: "SearchConfig",
+    frontier_capacity: int,
+    visited_bits: int,
+    history_capacity: int,
+    solved0: bool,
+) -> "SearchState":
+    F, N = frontier_capacity, cp.n
+    init = jnp.asarray(cp.init_state)[None]  # (1, N, 2)
+
+    novelty = init_novelty(N, cp.height, cp.width)
+    visited = init_hashset(visited_bits)
+    lo, hi = fingerprint(init, cp.width)
+    _, visited = probe_and_insert(visited, lo, hi, jnp.ones((1,), bool))
+
+    moved = jnp.ones((1, N), bool) & jnp.asarray(cp.obj_mask)[None]
+    nov, novelty = novelty_score_and_update(
+        novelty, init, moved, jnp.ones((1,), bool)
+    )
+    h = rgd_heuristic(t, init, max_depth=cfg.max_depth)
+    prio = _priority(nov, h, jnp.zeros((1,), jnp.int32), cfg.use_novelty)
+
+    return SearchState(
+        frontier_states=jnp.zeros((F, N, 2), jnp.int32).at[0].set(init[0]),
+        frontier_h=jnp.full((F,), EMPTY, jnp.int32).at[0].set(prio[0]),
+        frontier_hist=jnp.zeros((F,), jnp.int32),
+        frontier_lo=jnp.zeros((F,), jnp.uint32).at[0].set(lo[0]),
+        frontier_hi=jnp.zeros((F,), jnp.uint32).at[0].set(hi[0]),
+        hist_parent=jnp.full((history_capacity,), -1, jnp.int32),
+        hist_action=jnp.full((history_capacity,), -1, jnp.int32),
+        hist_cursor=jnp.int32(1),
+        visited=visited,
+        novelty=novelty,
+        solved=jnp.asarray(solved0),
+        solved_hist=jnp.int32(0),
+        iterations=jnp.int32(0),
+        expansions=jnp.int32(0),
+        evictions=jnp.int32(0),
+    )
+
+
+@jax.jit
+def search_status(s: "SearchState") -> jax.Array:
+    """Packs the host-visible search status into ONE int32 vector so the
+    between-chunk host sync is a single D2H transfer (each separate scalar
+    readback costs a ~25 ms tunnel round-trip on axon; the first readback of
+    each distinct program costs seconds).
+
+    Layout: [solved, solved_hist, min_frontier_key, hist_cursor,
+             expansions, evictions, iterations].
+    """
+    return jnp.stack(
+        [
+            s.solved.astype(jnp.int32),
+            s.solved_hist,
+            jnp.min(s.frontier_h),
+            s.hist_cursor,
+            s.expansions,
+            s.evictions,
+            s.iterations,
+        ]
+    )
+
+
 class BatchedPlanner:
     """Device planner for one compiled puzzle.
 
@@ -159,46 +235,17 @@ class BatchedPlanner:
     # ------------------------------------------------------------------ init
 
     def init_state(self) -> SearchState:
-        cp, t = self.cp, self.tables
-        F, N = self.frontier_capacity, cp.n
-        init = jnp.asarray(cp.init_state)[None]  # (1, N, 2)
-
-        novelty = init_novelty(N, cp.height, cp.width)
-        visited = init_hashset(self.visited_bits)
-        lo, hi = fingerprint(init, cp.width)
-        _, visited = probe_and_insert(visited, lo, hi, jnp.ones((1,), bool))
-
-        moved = jnp.ones((1, N), bool) & jnp.asarray(cp.obj_mask)[None]
-        nov, novelty = novelty_score_and_update(
-            novelty, init, moved, jnp.ones((1,), bool)
-        )
-        h = rgd_heuristic(t, init, max_depth=self.max_depth)
-        prio = _priority(nov, h, jnp.asarray(np.zeros((1,), np.int32)), self.use_novelty)
-
-        frontier_states = jnp.zeros((F, N, 2), jnp.int32).at[0].set(init[0])
-        frontier_h = jnp.full((F,), EMPTY, jnp.int32).at[0].set(prio[0])
-        frontier_hist = jnp.zeros((F,), jnp.int32)
-        frontier_lo = jnp.zeros((F,), jnp.uint32).at[0].set(lo[0])
-        frontier_hi = jnp.zeros((F,), jnp.uint32).at[0].set(hi[0])
-
-        return SearchState(
-            frontier_states=frontier_states,
-            frontier_h=frontier_h,
-            frontier_hist=frontier_hist,
-            frontier_lo=frontier_lo,
-            frontier_hi=frontier_hi,
-            hist_parent=jnp.full((self.history_capacity,), -1, jnp.int32),
-            hist_action=jnp.full((self.history_capacity,), -1, jnp.int32),
-            hist_cursor=jnp.int32(1),
-            visited=visited,
-            novelty=novelty,
-            solved=jnp.asarray(
-                bool(self.puzzle.is_goal_state(self.puzzle.initial_state))
-            ),
-            solved_hist=jnp.int32(0),
-            iterations=jnp.int32(0),
-            expansions=jnp.int32(0),
-            evictions=jnp.int32(0),
+        # One fused program: op-by-op construction dispatches ~15 tiny
+        # programs, each costing seconds of one-time compile latency on the
+        # axon platform (measured: 22 s per puzzle).
+        return _init_state_jit(
+            self.cp,
+            self.tables,
+            self.config,
+            self.frontier_capacity,
+            self.visited_bits,
+            self.history_capacity,
+            bool(self.puzzle.is_goal_state(self.puzzle.initial_state)),
         )
 
     # ------------------------------------------------------------------- cfg
@@ -218,39 +265,53 @@ class BatchedPlanner:
         self,
         time_limit: Optional[float] = None,
         max_expansions: Optional[int] = None,
-        chunk: int = 32,
+        chunk: int = 128,
     ) -> Optional[List[int]]:
         """Searches for a plan.  Returns the action list, None if the search
         space is exhausted (no solution), or raises TimeoutError on budget
-        exhaustion."""
+        exhaustion.
+
+        The chunk loop is PIPELINED: the next chunk is enqueued before the
+        previous chunk's status is read back, so the ~25 ms D2H round-trip
+        of the axon tunnel overlaps device compute instead of stalling it
+        (post-solve/exhaustion chunks are no-ops, see :func:`run_chunk`).
+        """
         s = self.init_state()
         if self.puzzle.is_goal_state(self.puzzle.initial_state):
             return []
         deadline = None if time_limit is None else time.monotonic() + time_limit
         cfg = self.config
 
+        s_prev = run_chunk(self.cp, self.tables, cfg, s, chunk)
+        stat_prev = search_status(s_prev)
         while True:
-            s = run_chunk(self.cp, self.tables, cfg, s, chunk)
-            if bool(s.solved):
+            s_next = run_chunk(self.cp, self.tables, cfg, s_prev, chunk)
+            stat_next = search_status(s_next)
+            stat = np.asarray(stat_prev)  # sync point for chunk k-1
+            solved, _, min_key, cursor, expansions, evictions, _ = (
+                int(v) for v in stat
+            )
+            if solved:
+                s = s_prev
                 break
-            exhausted = int(jnp.min(s.frontier_h)) >= EMPTY
-            if exhausted:
-                if int(s.evictions) == 0:
+            if min_key >= EMPTY:
+                if evictions == 0:
                     return None  # complete search: truly no solution
                 # Capacity evictions pruned states that cannot be
                 # re-generated from an empty frontier: inconclusive.
                 raise TimeoutError("frontier exhausted after evictions")
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("time budget exhausted")
-            if max_expansions is not None and int(s.expansions) >= max_expansions:
+            if max_expansions is not None and expansions >= max_expansions:
                 raise TimeoutError("expansion budget exhausted")
-            if int(s.hist_cursor) >= self.history_capacity - 8 * self.expand:
+            if cursor >= self.history_capacity - 8 * self.expand:
                 raise TimeoutError("history capacity exhausted")
+            s_prev, stat_prev = s_next, stat_next
 
         # Reconstruct the plan on host.
         parent = np.asarray(s.hist_parent)
         action = np.asarray(s.hist_action)
-        idx = int(s.solved_hist)
+        idx = int(np.asarray(s.solved_hist))
         plan: List[int] = []
         while idx > 0:
             plan.append(int(action[idx]))
@@ -348,19 +409,27 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
 def run_chunk(cp, tables, cfg: SearchConfig, s: SearchState, chunk: int = 32) -> SearchState:
-    """Runs up to ``chunk`` iterations (stops early on solve/exhaustion)."""
+    """Runs up to ``chunk`` iterations (solve/exhaustion turn the remaining
+    iterations into no-ops).
 
-    def cond(carry):
-        s, i = carry
-        exhausted = jnp.min(s.frontier_h) >= EMPTY
-        hist_full = s.hist_cursor >= cfg.history_capacity - 8 * cfg.expand
-        return (~s.solved) & (~exhausted) & (~hist_full) & (i < chunk)
+    The trip count is FIXED: on the axon TPU platform a ``while_loop`` whose
+    condition depends on carried data costs ~19 ms per iteration (vs ~10 us
+    with a counter-only bound — measured; the trip decision appears to leave
+    the device).  The stop conditions are instead evaluated on device inside
+    the body, gating the iteration through ``lax.cond``; results are
+    bit-identical to the data-dependent while_loop."""
 
-    def body(carry):
-        s, i = carry
-        return _iterate(cp, tables, cfg, s), i + 1
+    def body(i, s):
+        active = (
+            (~s.solved)
+            & (jnp.min(s.frontier_h) < EMPTY)
+            & (s.hist_cursor < cfg.history_capacity - 8 * cfg.expand)
+        )
+        return jax.lax.cond(
+            active, lambda s: _iterate(cp, tables, cfg, s), lambda s: s, s
+        )
 
-    s, _ = jax.lax.while_loop(cond, body, (s, np.int32(0)))
+    s = jax.lax.fori_loop(0, chunk, body, s)
     return s
 
 

@@ -9,12 +9,39 @@ amortizes compilation across the benchmark — the reference has no analog
 
 import bisect
 import os
+import threading
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
 from pushworld_tpu.core.puzzle import Puzzle
+
+_transfer_warm_lock = threading.Lock()
+_transfer_warm_thread: Optional[threading.Thread] = None
+
+
+def warm_transfers_async() -> threading.Thread:
+    """Starts (once) a background thread that performs one tiny
+    device-to-host readback.
+
+    On the axon TPU platform the FIRST D2H transfer of a process pays a
+    one-time setup cost of tens of seconds (measured 17-350 s); doing it on
+    a background thread overlaps that wait with host-side preparation
+    (parsing, table building, kernel-compile cache loads)."""
+    global _transfer_warm_thread
+    with _transfer_warm_lock:
+        if _transfer_warm_thread is None:
+
+            def _warm():
+                import jax.numpy as jnp
+                import numpy as np
+
+                np.asarray(jnp.zeros((8,), jnp.int32))
+
+            _transfer_warm_thread = threading.Thread(target=_warm, daemon=True)
+            _transfer_warm_thread.start()
+    return _transfer_warm_thread
 
 # Shape profiles (n, dim, delta, cmax).  Kernel compilation per bucket is
 # the dominant fixed cost on the TPU toolchain (minutes), while over-padding
@@ -50,6 +77,9 @@ class PlanResult:
     expansions: int = 0
 
 
+CHUNK = 128  # iterations per device dispatch (shared by warm-up and solves)
+
+
 def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
     """Races the native serial planner (host thread; the ctypes call
     releases the GIL) against the batched device search.  Returns the first
@@ -57,10 +87,9 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
     raises TimeoutError when the budget expires."""
     import concurrent.futures as cf
 
-    import jax as _jax
     import numpy as _np
 
-    from pushworld_tpu.search.batched import EMPTY, run_chunk
+    from pushworld_tpu.search.batched import EMPTY, run_chunk, search_status
 
     def native_job():
         from pushworld_tpu.native import bridge
@@ -89,61 +118,62 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
 
     deadline = None if time_limit is None else time.monotonic() + time_limit
     debug = bool(os.environ.get("PW_DEBUG"))
-    s = planner.init_state()
     cfg = planner.config
     chunks = 0
     device_dead = None  # None = running; otherwise its terminal outcome
-    try:
-        while True:
-            if fut.done():
-                try:
-                    plan = fut.result()
-                except TimeoutError:
-                    plan = False  # native budget exhausted: keep device going
-                except Exception:
-                    plan = False
-                if plan is not False:
-                    if plan is not None and puzzle.is_valid_plan(plan):
-                        return plan
-                    if plan is None:
-                        return None  # native search is complete
-                fut = None
-            if device_dead is None:
-                if debug:
-                    print(f"    [chunk {chunks} start]", flush=True)
-                s = run_chunk(planner.cp, planner.tables, cfg, s, 32)
-                chunks += 1
-                if debug:
-                    print(
-                        f"    [chunk {chunks} done iters={int(s.iterations)}]",
-                        flush=True,
-                    )
-                if bool(s.solved):
-                    parent = _np.asarray(s.hist_parent)
-                    action = _np.asarray(s.hist_action)
-                    idx = int(s.solved_hist)
-                    plan = []
-                    while idx > 0:
-                        plan.append(int(action[idx]))
-                        idx = int(parent[idx])
-                    plan.reverse()
+    # Pipelined device loop: the next chunk is enqueued before the previous
+    # chunk's packed status is read back (see BatchedPlanner.solve).
+    s = run_chunk(planner.cp, planner.tables, cfg, planner.init_state(), CHUNK)
+    stat_f = search_status(s)
+    while True:
+        if fut.done():
+            try:
+                plan = fut.result()
+            except TimeoutError:
+                plan = False  # native budget exhausted: keep device going
+            except Exception:
+                plan = False
+            if plan is not False:
+                if plan is not None and puzzle.is_valid_plan(plan):
                     return plan
-                if int(_jax.numpy.min(s.frontier_h)) >= EMPTY:
-                    device_dead = (
-                        "no solution" if int(s.evictions) == 0 else "inconclusive"
-                    )
-                    if device_dead == "no solution":
-                        return None
-                elif int(s.hist_cursor) >= cfg.history_capacity - 8 * cfg.expand:
-                    device_dead = "history full"
-            elif fut is None:
-                raise TimeoutError("both portfolio members exhausted budgets")
-            else:
-                time.sleep(0.05)
-            if deadline is not None and time.monotonic() > deadline:
-                raise TimeoutError("time budget exhausted")
-    finally:
-        pass
+                if plan is None:
+                    return None  # native search is complete
+            fut = None
+        if device_dead is None:
+            s_next = run_chunk(planner.cp, planner.tables, cfg, s, CHUNK)
+            stat_next = search_status(s_next)
+            stat = _np.asarray(stat_f)  # sync point for the previous chunk
+            solved, _, min_key, cursor, _, evictions, iters = (
+                int(v) for v in stat
+            )
+            chunks += 1
+            if debug:
+                print(f"    [chunk {chunks} iters={iters}]", flush=True)
+            if solved:
+                parent = _np.asarray(s.hist_parent)
+                action = _np.asarray(s.hist_action)
+                idx = int(_np.asarray(s.solved_hist))
+                plan = []
+                while idx > 0:
+                    plan.append(int(action[idx]))
+                    idx = int(parent[idx])
+                plan.reverse()
+                return plan
+            if min_key >= EMPTY:
+                device_dead = (
+                    "no solution" if evictions == 0 else "inconclusive"
+                )
+                if device_dead == "no solution":
+                    return None
+            elif cursor >= cfg.history_capacity - 8 * cfg.expand:
+                device_dead = "history full"
+            s, stat_f = s_next, stat_next
+        elif fut is None:
+            raise TimeoutError("both portfolio members exhausted budgets")
+        else:
+            time.sleep(0.05)
+        if deadline is not None and time.monotonic() > deadline:
+            raise TimeoutError("time budget exhausted")
 
 
 def bucket_key(puzzle: Puzzle, max_depth: int) -> Tuple[int, int, int, int, int]:
@@ -225,6 +255,8 @@ def plan_puzzles(
     from pushworld_tpu.core.compiled import compile_puzzle
     from pushworld_tpu.ops.rgd import build_rgd_tables
 
+    warm_transfers_async()
+
     # Group by bucket.
     buckets: Dict[tuple, List[Tuple[str, Puzzle, int]]] = {}
     for name, puzzle in named_puzzles:
@@ -251,8 +283,10 @@ def plan_puzzles(
         cmax = _pad(_CMAX_LADDER, cmax_req)
 
         # Warm up this bucket's compiled kernels on the first puzzle so that
-        # per-puzzle budgets measure search, not one-time compilation.
-        from pushworld_tpu.search.batched import run_chunk
+        # per-puzzle budgets measure search, not one-time compilation.  Also
+        # warms the packed-status D2H readback path, whose FIRST use in a
+        # process costs tens of seconds on the axon tunnel.
+        from pushworld_tpu.search.batched import run_chunk, search_status
 
         first_name, first_puzzle, _ = group[0]
         warm_tables = build_rgd_tables(
@@ -269,22 +303,40 @@ def plan_puzzles(
             max_depth=depth,
             use_novelty=(mode == "N+RGD"),
         )
-        import jax as _jax
 
-        # chunk must match solve()'s default: the chunk size is a static
-        # argument, so a different value would compile a second program.
-        _jax.block_until_ready(
-            run_chunk(
-                cps[first_name], warm_tables, warm_planner.config,
-                warm_planner.init_state(), 32,
-            ).frontier_h
+        # chunk must match solve()'s: the chunk size is a static argument,
+        # so a different value would compile a second program.
+        warm_s = run_chunk(
+            cps[first_name], warm_tables, warm_planner.config,
+            warm_planner.init_state(), CHUNK,
         )
+        np.asarray(search_status(warm_s))
+        np.asarray(warm_s.hist_parent)
 
-        for name, puzzle, _ in group:
-            t0 = time.monotonic()
-            tables = build_rgd_tables(
-                puzzle, cps[name], cmax_pad=cmax, max_goals=goals_req
+        # Pipeline table building: upcoming puzzles' tables are built (and
+        # their ~6 MB host-to-device transfers issued) on a host thread
+        # while the current puzzle solves.  A several-deep window keeps the
+        # tunnel busy even when solves finish in milliseconds.
+        import concurrent.futures as cf
+        from collections import deque
+
+        PREFETCH = 6
+        prep = cf.ThreadPoolExecutor(max_workers=1)
+
+        def _build(g_idx: int):
+            g_name, g_puzzle, _ = group[g_idx]
+            return build_rgd_tables(
+                g_puzzle, cps[g_name], cmax_pad=cmax, max_goals=goals_req
             )
+
+        pending = deque(
+            prep.submit(_build, i) for i in range(min(PREFETCH, len(group)))
+        )
+        for gi, (name, puzzle, _) in enumerate(group):
+            t0 = time.monotonic()
+            tables = pending.popleft().result()
+            if gi + PREFETCH < len(group):
+                pending.append(prep.submit(_build, gi + PREFETCH))
             planner = BatchedPlanner(
                 puzzle,
                 cp=cps[name],
@@ -327,4 +379,5 @@ def plan_puzzles(
                     f"({r.planning_time:.2f}s, plan={len(r.plan) if r.plan else 0})",
                     flush=True,
                 )
+        prep.shutdown(wait=False)
     return results
