@@ -3,18 +3,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline: benchmark puzzles solved per second by the batched device planner
-(N+RGD) under a per-puzzle 60 s budget, on a level-1 subset.  ``vs_baseline``
-compares against this framework's native C++ serial planner alone (the
-stand-in for the reference C++ RGD planner — same algorithm class: greedy
-best-first, novelty + fewest-tools RGD, reference: cpp/src/run_planner.cc:
-37-61) on the same puzzles and budget.  The headline planner is the
-heterogeneous portfolio (batched TPU search racing the native planner).
+Headline: benchmark puzzles solved per second by the heterogeneous fleet
+executor (host native workers + TPU group-vmapped batched search,
+pushworld_tpu.search.fleet) under the reference benchmark protocol's
+per-puzzle budget.  ``vs_baseline`` compares against the reference
+protocol itself: one single-threaded serial N+RGD planner solving the same
+puzzles sequentially (the native planner here is this framework's
+re-architected equivalent of the reference C++ RGD planner — same algorithm
+class: greedy best-first, novelty + fewest-tools RGD, reference:
+cpp/src/run_planner.cc:37-61 — and at least as fast per instance, so the
+baseline is conservative).
 
 Environment overrides:
-  PUSHWORLD_BENCH_COUNT   number of puzzles (default 16)
-  PUSHWORLD_BENCH_LEVEL   benchmark level directory (default level1)
-  PUSHWORLD_BENCH_BUDGET  per-puzzle seconds (default 60)
+  PUSHWORLD_BENCH_SET     comma-separated level:count specs
+                          (default "level1:68,level2:12")
+  PUSHWORLD_BENCH_BUDGET  per-puzzle seconds (default 30)
 """
 
 import json
@@ -22,10 +25,29 @@ import os
 import time
 
 
+def load_set(spec: str):
+    from pushworld_tpu import config
+    from pushworld_tpu.core.puzzle import Puzzle
+    from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
+
+    named = []
+    for part in spec.split(","):
+        level, _, count = part.partition(":")
+        paths = get_puzzle_file_paths(
+            os.path.join(config.BENCHMARK_PUZZLES_PATH, level.strip())
+        )
+        names = sorted(paths)
+        if count:
+            names = names[: int(count)]
+        named.extend(
+            (f"{level}/{n}", Puzzle.from_file(paths[n])) for n in names
+        )
+    return named
+
+
 def main():
-    count = int(os.environ.get("PUSHWORLD_BENCH_COUNT", "16"))
-    level = os.environ.get("PUSHWORLD_BENCH_LEVEL", "level1")
-    budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", "60"))
+    spec = os.environ.get("PUSHWORLD_BENCH_SET", "level1:68,level2:12")
+    budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", "30"))
 
     import jax
 
@@ -36,38 +58,31 @@ def main():
     except Exception:
         pass
 
-    from pushworld_tpu import config
-    from pushworld_tpu.core.puzzle import Puzzle
     from pushworld_tpu.native import is_available, solve_native
+    from pushworld_tpu.search.fleet import plan_puzzles_fleet
     from pushworld_tpu.search.host_planner import solve_host
-    from pushworld_tpu.search.planner import plan_puzzles, warm_transfers_async
-    from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
+    from pushworld_tpu.search.planner import warm_transfers_async
 
     # The axon platform's one-time D2H setup (tens of seconds) overlaps the
-    # load/parse/warm-up phase below.
+    # load/parse phase below.
     warm_transfers_async()
 
-    paths = get_puzzle_file_paths(os.path.join(config.BENCHMARK_PUZZLES_PATH, level))
-    names = sorted(paths)[:count]
-    named = [(n, Puzzle.from_file(paths[n])) for n in names]
+    named = load_set(spec)
 
-    # Warm-up: compile/cache the bucket kernels and transfer paths on the
-    # first two puzzles (not timed — the headline measures steady-state
-    # planning throughput, matching the reference protocol's per-puzzle
-    # budgets which exclude planner build time).
-    plan_puzzles(named[:2], time_limit=min(10.0, budget), progress=False)
-
-    # --- device planner (the headline).
+    # --- fleet executor (the headline).
     t0 = time.monotonic()
-    results = plan_puzzles(named, time_limit=budget, progress=False)
-    device_wall = time.monotonic() - t0
-    device_solved = sum(
-        1 for n in names if results[n].failure_reason is None
-    )
+    results = plan_puzzles_fleet(named, time_limit=budget, group_size=8)
+    fleet_wall = time.monotonic() - t0
+    fleet_solved = sum(1 for r in results.values() if r.failure_reason is None)
+    by_solver = {}
+    for r in results.values():
+        if r.failure_reason is None:
+            by_solver[r.solver] = by_solver.get(r.solver, 0) + 1
 
-    # --- native serial baseline on the same protocol.
+    # --- reference-protocol baseline: sequential single-threaded serial
+    # planner, same puzzles, same per-puzzle budget.
     t0 = time.monotonic()
-    host_solved = 0
+    base_solved = 0
     use_native = is_available()
     for n, p in named:
         try:
@@ -76,26 +91,29 @@ def main():
             else:
                 plan = solve_host(p, mode="N+RGD", time_limit=budget)
             if plan is not None and (plan == [] or p.is_valid_plan(plan)):
-                host_solved += 1
-        except TimeoutError:
+                base_solved += 1
+        except (TimeoutError, MemoryError):
             pass
-    host_wall = time.monotonic() - t0
+    base_wall = time.monotonic() - t0
 
-    value = device_solved / device_wall if device_wall > 0 else 0.0
-    baseline = host_solved / host_wall if host_wall > 0 else 1e-9
+    value = fleet_solved / fleet_wall if fleet_wall > 0 else 0.0
+    baseline = base_solved / base_wall if base_wall > 0 else 1e-9
     print(
         json.dumps(
             {
-                "metric": f"{level}_puzzles_solved_per_s",
+                "metric": "benchmark_puzzles_solved_per_s",
                 "value": round(value, 4),
                 "unit": "puzzles/s",
                 "vs_baseline": round(value / baseline, 3),
                 "detail": {
-                    "device_solved": device_solved,
-                    "host_solved": host_solved,
-                    "count": count,
-                    "device_wall_s": round(device_wall, 1),
-                    "host_wall_s": round(host_wall, 1),
+                    "set": spec,
+                    "budget_s": budget,
+                    "fleet_solved": fleet_solved,
+                    "fleet_by_solver": by_solver,
+                    "baseline_solved": base_solved,
+                    "count": len(named),
+                    "fleet_wall_s": round(fleet_wall, 1),
+                    "baseline_wall_s": round(base_wall, 1),
                 },
             }
         )

@@ -99,11 +99,20 @@ def build_rgd_tables(
     cp: CompiledPuzzle,
     cmax_pad: Optional[int] = None,
     max_goals: Optional[int] = None,
+    max_depth: Optional[int] = None,
 ) -> RGDTables:
     """Builds all precomputed tensors (one-time per puzzle).
 
     ``cmax_pad`` / ``max_goals`` pad the contact lists and goal loop bound to
-    a bucket-wide value so puzzles in one bucket share compiled kernels."""
+    a bucket-wide value so puzzles in one bucket share compiled kernels.
+
+    ``max_depth`` (when given) bounds the pushing depth the tables will be
+    used at: depth 0 only ever gathers the AGENT's all-pairs distance table
+    (``rgd_heuristic``'s gathers on ``D[q >= 1]`` exist only in the
+    depth >= 1 trace), so ``D`` is built as (1, HW, HW) — for the large
+    shape profile that cuts the per-puzzle build + host-to-device transfer
+    from ~393 MB to ~20 MB.  Rows for bucket-padding objects (>= n_real)
+    are never gathered with finite contacts and are left at infinity."""
     N, H, W = cp.n, cp.height, cp.width
 
     # One-time precompute runs entirely on host: the native C worklist for
@@ -114,8 +123,12 @@ def build_rgd_tables(
 
     E_np = _movement_graphs_host(puzzle, cp)
     # uint16 distances halve the per-puzzle table transfer (the large shape
-    # profile's D is ~400 MB); 65535 encodes infinity.
-    D_f = np.stack([host_graph_distances(E_np[:, o]) for o in range(N)])
+    # profile's full D is ~400 MB); 65535 encodes infinity.
+    n_rows = 1 if max_depth == 0 else N
+    n_built = 1 if max_depth == 0 else min(N, puzzle.num_movables)
+    D_f = np.full((n_rows, H * W, H * W), float(INF), np.float32)
+    for o in range(n_built):
+        D_f[o] = host_graph_distances(E_np[:, o])
     D = jnp.asarray(np.where(D_f >= FINITE_THRESHOLD, 65535, D_f).astype(np.uint16))
 
     DG_list = []

@@ -1,0 +1,149 @@
+"""Multi-process (multi-host) benchmark planning.
+
+The reference has no distributed runtime (SURVEY.md §2e); its benchmark
+harness is a sequential single-process loop (reference:
+python3/src/pushworld/benchmark_rgd.py:70-84).  Here the natural axis —
+independent puzzles — is sharded across *processes* (one per host /
+TPU slice), each of which runs the local fleet/planner on its own devices;
+per-puzzle results are exchanged at the end with a JSON all-gather over the
+jax.distributed KV store (tiny payloads; no device collectives needed for
+an embarrassingly parallel workload).
+
+Launch (same command on every host):
+
+    PW_COORDINATOR=host0:12345 PW_NUM_PROCESSES=4 PW_PROCESS_ID=<i> \
+        python -m pushworld_tpu.scripts.benchmark_distributed <puzzles_dir>
+
+or rely on the TPU metadata auto-detection built into
+``jax.distributed.initialize()``.
+"""
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pushworld_tpu.core.puzzle import Puzzle
+from pushworld_tpu.search.planner import PlanResult
+
+__all__ = [
+    "initialize_from_env",
+    "shard_puzzles",
+    "plan_puzzles_distributed",
+]
+
+
+def initialize_from_env() -> Tuple[int, int]:
+    """Initializes jax.distributed from PW_* env vars (or JAX's own
+    auto-detection when they are absent).  Returns (process_id, n_processes).
+    Safe to call when already initialized or single-process."""
+    import jax
+
+    coord = os.environ.get("PW_COORDINATOR")
+    if coord:
+        nproc = int(os.environ["PW_NUM_PROCESSES"])
+        pid = int(os.environ["PW_PROCESS_ID"])
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=nproc, process_id=pid
+        )
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process
+    return jax.process_index(), jax.process_count()
+
+
+def shard_puzzles(
+    named_puzzles: Sequence[Tuple[str, Puzzle]],
+    process_id: int,
+    n_processes: int,
+) -> List[Tuple[str, Puzzle]]:
+    """Deterministic round-robin shard: puzzle i -> process i % n.
+
+    Round-robin (rather than contiguous blocks) balances the level-sorted
+    benchmark's difficulty gradient across processes."""
+    return [
+        item
+        for i, item in enumerate(named_puzzles)
+        if i % n_processes == process_id
+    ]
+
+
+def _result_to_json(name: str, r: PlanResult) -> str:
+    return json.dumps(
+        {
+            "puzzle": name,
+            "plan": r.plan,
+            "planning_time": r.planning_time,
+            "failure_reason": r.failure_reason,
+            "solver": r.solver,
+        }
+    )
+
+
+def _results_from_json(blob: str) -> Dict[str, PlanResult]:
+    out = {}
+    for rec in json.loads(blob):
+        d = json.loads(rec)
+        out[d["puzzle"]] = PlanResult(
+            plan=d["plan"],
+            planning_time=d["planning_time"],
+            failure_reason=d["failure_reason"],
+            solver=d.get("solver", ""),
+        )
+    return out
+
+
+def plan_puzzles_distributed(
+    named_puzzles: Sequence[Tuple[str, Puzzle]],
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = 60.0,
+    use_fleet: bool = True,
+    **kwargs,
+) -> Dict[str, PlanResult]:
+    """Plans the full set across all processes; every process returns the
+    COMPLETE result dict (per-puzzle results are exchanged through the
+    coordinator's KV store — kilobytes, not device traffic)."""
+    import jax
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    local = shard_puzzles(named_puzzles, pid, nproc)
+
+    if use_fleet:
+        from pushworld_tpu.search.fleet import plan_puzzles_fleet
+
+        local_results = plan_puzzles_fleet(
+            local, mode=mode, time_limit=time_limit, **kwargs
+        )
+    else:
+        from pushworld_tpu.search.planner import plan_puzzles
+
+        local_results = plan_puzzles(
+            local, mode=mode, time_limit=time_limit, **kwargs
+        )
+
+    if nproc == 1:
+        return local_results
+
+    # Exchange results via the distributed KV store (client attribute is
+    # stable across recent jax versions; fall back to returning local-only
+    # results if unavailable).
+    client = getattr(
+        jax._src.distributed.global_state, "client", None
+    )  # noqa: SLF001
+    if client is None:
+        return local_results
+
+    blob = json.dumps(
+        [_result_to_json(n, r) for n, r in local_results.items()]
+    )
+    client.key_value_set(f"pw_results/{pid}", blob)
+    client.wait_at_barrier("pw_results_ready", 600_000)
+
+    merged: Dict[str, PlanResult] = {}
+    for other in range(nproc):
+        other_blob = client.blocking_key_value_get(
+            f"pw_results/{other}", 600_000
+        )
+        merged.update(_results_from_json(other_blob))
+    return merged

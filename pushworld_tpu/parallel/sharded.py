@@ -70,12 +70,17 @@ def solve_group(
     visited_bits: int = 19,
     history_capacity: int = 1 << 19,
     chunk: int = 16,
+    pad_group_to: Optional[int] = None,
 ) -> Dict[str, PlanResult]:
     """Solves a group of puzzles concurrently, sharded over ``mesh``.
 
-    All puzzles are padded to one common bucket shape.  The group is padded
-    to a multiple of the mesh size by replicating the last puzzle (padding
-    lanes are discarded).
+    All puzzles are padded to one common bucket shape drawn from the same
+    two-profile ladder the per-puzzle planner uses (a fresh exact shape per
+    group would recompile the kernels for every distinct group composition
+    — minutes on the TPU toolchain).  The group is padded to
+    ``pad_group_to`` lanes (and to a multiple of the mesh size) by
+    replicating the last puzzle (padding lanes are discarded), so repeated
+    calls with the same lane count reuse one compiled program.
     """
     if mesh is None:
         from pushworld_tpu.parallel.mesh import make_mesh
@@ -86,13 +91,21 @@ def solve_group(
     names = [n for n, _ in named_puzzles]
     puzzles = [p for _, p in named_puzzles]
     G = len(puzzles)
-    pad = (-G) % n_dev
-    padded = puzzles + [puzzles[-1]] * pad
+    lanes = max(G, pad_group_to or 0)
+    lanes += (-lanes) % n_dev
+    padded = puzzles + [puzzles[-1]] * (lanes - G)
 
-    # One bucket covering the group.
-    from pushworld_tpu.core.compiled import bucket_shape
+    # One ladder profile covering the group (shared with the per-puzzle
+    # planner's buckets, so kernels are reused across groups).
+    from pushworld_tpu.core.compiled import compute_delta
+    from pushworld_tpu.search.planner import _profile_for
 
-    N, H, W, delta = bucket_shape(padded)
+    N, dim, delta, _ = _profile_for(
+        max(p.num_movables for p in padded),
+        max(max(p.height, p.width) for p in padded),
+        max(compute_delta(p) for p in padded),
+    )
+    H = W = dim
     cps = [compile_puzzle(p, N, H, W, delta) for p in padded]
     cmax_req = max(
         int(np.asarray(cp.push).reshape(4, N, N, -1).sum(-1).max()) for cp in cps
@@ -100,7 +113,7 @@ def solve_group(
     cmax = _pad(_CMAX_LADDER, max(1, cmax_req))
     goals = max(p.num_goals for p in padded)
     tables = [
-        build_rgd_tables(p, cp, cmax_pad=cmax, max_goals=goals)
+        build_rgd_tables(p, cp, cmax_pad=cmax, max_goals=goals, max_depth=max_depth)
         for p, cp in zip(padded, cps)
     ]
 

@@ -224,7 +224,11 @@ class BatchedPlanner:
     ):
         self.puzzle = puzzle
         self.cp = cp if cp is not None else compile_puzzle(puzzle)
-        self.tables = tables if tables is not None else build_rgd_tables(puzzle, self.cp)
+        self.tables = (
+            tables
+            if tables is not None
+            else build_rgd_tables(puzzle, self.cp, max_depth=max_depth)
+        )
         self.expand = expand
         self.frontier_capacity = frontier_capacity
         self.visited_bits = visited_bits

@@ -75,16 +75,26 @@ class PlanResult:
     planning_time: float
     failure_reason: Optional[str]  # None | "time limit" | "no solution" | ...
     expansions: int = 0
+    solver: str = ""  # which fleet/portfolio member produced the result
 
 
 CHUNK = 128  # iterations per device dispatch (shared by warm-up and solves)
 
 
-def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
+HEADSTART = float(os.environ.get("PW_PORTFOLIO_HEADSTART", "1.0"))
+
+
+def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
     """Races the native serial planner (host thread; the ctypes call
     releases the GIL) against the batched device search.  Returns the first
     plan found, None only when BOTH prove no solution is possible, and
-    raises TimeoutError when the budget expires."""
+    raises TimeoutError when the budget expires.
+
+    ``planner_factory`` is called (and may block on table transfers) only
+    after the native member fails to finish within a short head start —
+    device engagement costs seconds of tunnel traffic (table H2D + chunk
+    dispatches) that instances the serial planner solves in milliseconds
+    never need to pay."""
     import concurrent.futures as cf
 
     import numpy as _np
@@ -107,7 +117,7 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
         native_available = False
 
     if not native_available:
-        return planner.solve(time_limit=time_limit)
+        return planner_factory().solve(time_limit=time_limit)
 
     if puzzle.is_goal_state(puzzle.initial_state):
         return []
@@ -117,6 +127,27 @@ def _portfolio_solve(planner, puzzle, cp, mode, time_limit):
     ex.shutdown(wait=False)
 
     deadline = None if time_limit is None else time.monotonic() + time_limit
+
+    # Native head start (poll-based: fut.result(timeout=...) raises the
+    # same TimeoutError type the native member uses for budget exhaustion).
+    headstart_end = time.monotonic() + (
+        HEADSTART if time_limit is None else min(HEADSTART, 0.5 * time_limit)
+    )
+    while time.monotonic() < headstart_end and not fut.done():
+        time.sleep(0.005)
+    if fut.done():
+        try:
+            plan = fut.result()
+            if plan is None or plan == [] or puzzle.is_valid_plan(plan):
+                return plan
+        except TimeoutError:
+            raise  # native had the full budget and exhausted it
+        except MemoryError:
+            pass  # fall through to the device member
+        except Exception:
+            pass
+
+    planner = planner_factory()
     debug = bool(os.environ.get("PW_DEBUG"))
     cfg = planner.config
     chunks = 0
@@ -285,33 +316,44 @@ def plan_puzzles(
         # Warm up this bucket's compiled kernels on the first puzzle so that
         # per-puzzle budgets measure search, not one-time compilation.  Also
         # warms the packed-status D2H readback path, whose FIRST use in a
-        # process costs tens of seconds on the axon tunnel.
+        # process costs tens of seconds on the axon tunnel.  Runs on a
+        # background thread: the native portfolio member solves the easy
+        # prefix of the bucket meanwhile; device engagements block on
+        # ``warm_done`` (in planner_factory) until the kernels are live.
         from pushworld_tpu.search.batched import run_chunk, search_status
 
-        first_name, first_puzzle, _ = group[0]
-        warm_tables = build_rgd_tables(
-            first_puzzle, cps[first_name], cmax_pad=cmax, max_goals=goals_req
-        )
-        warm_planner = BatchedPlanner(
-            first_puzzle,
-            cp=cps[first_name],
-            tables=warm_tables,
-            expand=expand,
-            frontier_capacity=frontier_capacity,
-            visited_bits=visited_bits,
-            history_capacity=history_capacity,
-            max_depth=depth,
-            use_novelty=(mode == "N+RGD"),
-        )
+        warm_done = threading.Event()
 
-        # chunk must match solve()'s: the chunk size is a static argument,
-        # so a different value would compile a second program.
-        warm_s = run_chunk(
-            cps[first_name], warm_tables, warm_planner.config,
-            warm_planner.init_state(), CHUNK,
-        )
-        np.asarray(search_status(warm_s))
-        np.asarray(warm_s.hist_parent)
+        def _warm_bucket():
+            try:
+                first_name, first_puzzle, _ = group[0]
+                warm_tables = build_rgd_tables(
+                    first_puzzle, cps[first_name], cmax_pad=cmax,
+                    max_goals=goals_req, max_depth=depth,
+                )
+                warm_planner = BatchedPlanner(
+                    first_puzzle,
+                    cp=cps[first_name],
+                    tables=warm_tables,
+                    expand=expand,
+                    frontier_capacity=frontier_capacity,
+                    visited_bits=visited_bits,
+                    history_capacity=history_capacity,
+                    max_depth=depth,
+                    use_novelty=(mode == "N+RGD"),
+                )
+                # chunk must match solve()'s: the chunk size is a static
+                # argument, so a different value would compile twice.
+                warm_s = run_chunk(
+                    cps[first_name], warm_tables, warm_planner.config,
+                    warm_planner.init_state(), CHUNK,
+                )
+                np.asarray(search_status(warm_s))
+                np.asarray(warm_s.hist_parent)
+            finally:
+                warm_done.set()
+
+        threading.Thread(target=_warm_bucket, daemon=True).start()
 
         # Pipeline table building: upcoming puzzles' tables are built (and
         # their ~6 MB host-to-device transfers issued) on a host thread
@@ -325,29 +367,44 @@ def plan_puzzles(
 
         def _build(g_idx: int):
             g_name, g_puzzle, _ = group[g_idx]
-            return build_rgd_tables(
-                g_puzzle, cps[g_name], cmax_pad=cmax, max_goals=goals_req
+            import jax as _jax
+
+            tables = build_rgd_tables(
+                g_puzzle, cps[g_name], cmax_pad=cmax, max_goals=goals_req,
+                max_depth=depth,
             )
+            # Issue the H2D transfers here so they overlap earlier solves
+            # (the tables are multi-MB; the tunnel pays ~1.4 s per puzzle
+            # when transferred lazily inside the solve loop).
+            return _jax.device_put(tables)
 
         pending = deque(
             prep.submit(_build, i) for i in range(min(PREFETCH, len(group)))
         )
         for gi, (name, puzzle, _) in enumerate(group):
             t0 = time.monotonic()
-            tables = pending.popleft().result()
+            tables_fut = pending.popleft()
             if gi + PREFETCH < len(group):
                 pending.append(prep.submit(_build, gi + PREFETCH))
-            planner = BatchedPlanner(
-                puzzle,
-                cp=cps[name],
-                tables=tables,
-                expand=expand,
-                frontier_capacity=frontier_capacity,
-                visited_bits=visited_bits,
-                history_capacity=history_capacity,
-                max_depth=depth,
-                use_novelty=(mode == "N+RGD"),
-            )
+
+            def planner_factory(
+                name=name, puzzle=puzzle, tables_fut=tables_fut
+            ):
+                # Blocks on the bucket warm-up and the prefetched table
+                # build/transfer only when the device member engages.
+                warm_done.wait()
+                return BatchedPlanner(
+                    puzzle,
+                    cp=cps[name],
+                    tables=tables_fut.result(),
+                    expand=expand,
+                    frontier_capacity=frontier_capacity,
+                    visited_bits=visited_bits,
+                    history_capacity=history_capacity,
+                    max_depth=depth,
+                    use_novelty=(mode == "N+RGD"),
+                )
+
             try:
                 remaining = (
                     None
@@ -356,10 +413,10 @@ def plan_puzzles(
                 )
                 if portfolio:
                     plan = _portfolio_solve(
-                        planner, puzzle, cps[name], mode, remaining
+                        planner_factory, puzzle, cps[name], mode, remaining
                     )
                 else:
-                    plan = planner.solve(time_limit=remaining)
+                    plan = planner_factory().solve(time_limit=remaining)
                 dt = time.monotonic() - t0
                 if plan is None:
                     results[name] = PlanResult(None, dt, "no solution")
