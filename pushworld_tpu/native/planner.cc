@@ -628,16 +628,21 @@ static int64_t pw_solve_impl(
   int64_t expansions = 0;
   std::vector<int32_t> child(n);
 
+  auto finish = [&](int64_t rc) {
+    if (out_expansions) *out_expansions = expansions;
+    return rc;
+  };
+
   while (!frontier.empty()) {
-    if (max_expansions > 0 && expansions >= max_expansions) return -2;
+    if (max_expansions > 0 && expansions >= max_expansions) return finish(-2);
     if ((expansions & 0xFF) == 0) {
-      if (Clock::now() > deadline) return -2;
+      if (Clock::now() > deadline) return finish(-2);
       // Reference-protocol analog of the 30 GB address-space rlimit
       // (utils/process.py:61-71): cap the search's dominant allocations.
       const size_t bytes = arena.capacity() * sizeof(int32_t) +
                            parents.capacity() * sizeof(int32_t) +
                            actions.capacity() + visited.mem_bytes();
-      if (bytes > mem_limit_bytes) return -5;
+      if (bytes > mem_limit_bytes) return finish(-5);
     }
     const int32_t node = frontier.pop();
     const int32_t* state = arena.data() + (size_t)node * n;
@@ -666,7 +671,7 @@ static int64_t pw_solve_impl(
           plan.push_back(actions[cur]);
           cur = parents[cur];
         }
-        if ((int64_t)plan.size() > out_cap) return -3;
+        if ((int64_t)plan.size() > out_cap) return finish(-3);
         for (size_t i = 0; i < plan.size(); i++)
           out_plan[i] = plan[plan.size() - 1 - i];
         if (out_expansions) *out_expansions = expansions;
