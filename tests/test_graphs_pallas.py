@@ -1,0 +1,98 @@
+"""Differential tests: Pallas wavefront kernel vs the host BFS oracle and
+the XLA wavefront (ops.graphs.distance_to_targets).
+
+Runs the Pallas interpreter on the CPU test mesh (tests/conftest.py); the
+kernel itself is exercised on real TPU hardware by the benchmark path.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pushworld_tpu.core.compiled import compile_puzzle
+from pushworld_tpu.core.puzzle import Puzzle
+from pushworld_tpu.ops.graphs import (
+    INF,
+    build_reachability,
+    distance_to_targets,
+    host_distance_to_targets,
+)
+from pushworld_tpu.ops.graphs_pallas import (
+    distance_fields_pallas,
+    distance_to_targets_pallas,
+)
+
+
+def _fields_for(puzzle: Puzzle):
+    cp = compile_puzzle(puzzle)
+    E, _ = build_reachability(cp)
+    return cp, np.asarray(E)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["trivial_tool", "transitive_pushing", "multiple_goals", "two_tools"],
+)
+def test_pallas_matches_host_bfs_on_fixtures(puzzles_dir, name):
+    puzzle = Puzzle.from_file(
+        os.path.join(puzzles_dir, "heur", name + ".pwp")
+    )
+    cp, E = _fields_for(puzzle)
+    W = cp.width
+    for o in range(puzzle.num_movables):
+        goal_flat = int(cp.init_state[o, 1]) * W + int(cp.init_state[o, 0])
+        expected = host_distance_to_targets(E[:, o], goal_flat)
+        targets = np.zeros((cp.height, cp.width), bool)
+        targets[goal_flat // W, goal_flat % W] = True
+        got = distance_to_targets_pallas(
+            jnp.asarray(E[:, o]), jnp.asarray(targets), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_pallas_matches_xla_wavefront_random_masks():
+    rng = np.random.default_rng(7)
+    H, W = 11, 13
+    for _ in range(8):
+        E = rng.random((4, H, W)) < 0.55
+        ty, tx = rng.integers(0, H), rng.integers(0, W)
+        targets = np.zeros((H, W), bool)
+        targets[ty, tx] = True
+        ref = distance_to_targets(jnp.asarray(E), jnp.asarray(targets))
+        got = distance_to_targets_pallas(
+            jnp.asarray(E), jnp.asarray(targets), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_batched_fields():
+    rng = np.random.default_rng(3)
+    B, H, W = 5, 9, 10
+    E = rng.random((B, 4, H, W)) < 0.5
+    d0 = np.full((B, H, W), INF, np.float32)
+    for b in range(B):
+        d0[b, rng.integers(0, H), rng.integers(0, W)] = 0.0
+    got = distance_fields_pallas(
+        jnp.asarray(E), jnp.asarray(d0), interpret=True
+    )
+    for b in range(B):
+        ref = distance_to_targets(jnp.asarray(E[b]), jnp.asarray(d0[b] == 0.0))
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(ref))
+
+
+def test_pallas_unreachable_stays_inf():
+    H, W = 8, 8
+    E = np.zeros((4, H, W), bool)  # no feasible transitions at all
+    targets = np.zeros((H, W), bool)
+    targets[4, 4] = True
+    got = np.asarray(
+        distance_to_targets_pallas(
+            jnp.asarray(E), jnp.asarray(targets), interpret=True
+        )
+    )
+    assert got[4, 4] == 0.0
+    mask = np.ones((H, W), bool)
+    mask[4, 4] = False
+    assert np.all(got[mask] == INF)
