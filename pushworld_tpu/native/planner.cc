@@ -558,7 +558,7 @@ static int64_t pw_solve_impl(
                  const uint8_t* static_block, const uint8_t* push,
                  const int32_t* init_xy, const int32_t* goal_xy,
                  int32_t num_goals, int32_t use_novelty, double time_limit,
-                 double mem_limit_gb, int64_t max_expansions,
+                 double mem_limit_gb, int64_t max_expansions, uint64_t seed,
                  int32_t* out_plan, int64_t out_cap,
                  int64_t* out_expansions) {
   const size_t mem_limit_bytes =
@@ -623,7 +623,11 @@ static int64_t pw_solve_impl(
       {1,0,2,3},{1,0,3,2},{1,2,0,3},{1,2,3,0},{1,3,0,2},{1,3,2,0},
       {2,0,1,3},{2,0,3,1},{2,1,0,3},{2,1,3,0},{2,3,0,1},{2,3,1,0},
       {3,0,1,2},{3,0,2,1},{3,1,0,2},{3,1,2,0},{3,2,0,1},{3,2,1,0}};
-  uint64_t perm_state = 0x9E3779B97F4A7C15ull;
+  // seed = 0 keeps the historical default stream; any other seed yields an
+  // independent deterministic action-order stream (restart diversity for
+  // the portfolio: greedy best-first outcomes are ordering-sensitive).
+  uint64_t perm_state = 0x9E3779B97F4A7C15ull ^ (seed * 0xBF58476D1CE4E5B9ull);
+  if (perm_state == 0) perm_state = 0x9E3779B97F4A7C15ull;
 
   int64_t expansions = 0;
   std::vector<int32_t> child(n);
@@ -690,13 +694,14 @@ int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
                  const uint8_t* static_block, const uint8_t* push,
                  const int32_t* init_xy, const int32_t* goal_xy,
                  int32_t num_goals, int32_t use_novelty, double time_limit,
-                 double mem_limit_gb, int64_t max_expansions,
+                 double mem_limit_gb, int64_t max_expansions, uint64_t seed,
                  int32_t* out_plan, int64_t out_cap,
                  int64_t* out_expansions) {
   try {
     return pw_solve_impl(n, H, W, delta, static_block, push, init_xy, goal_xy,
                          num_goals, use_novelty, time_limit, mem_limit_gb,
-                         max_expansions, out_plan, out_cap, out_expansions);
+                         max_expansions, seed, out_plan, out_cap,
+                         out_expansions);
   } catch (const std::bad_alloc&) {
     return -5;
   } catch (...) {

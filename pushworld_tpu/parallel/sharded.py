@@ -111,7 +111,11 @@ def solve_group(
         int(np.asarray(cp.push).reshape(4, N, N, -1).sum(-1).max()) for cp in cps
     )
     cmax = _pad(_CMAX_LADDER, max(1, cmax_req))
-    goals = max(p.num_goals for p in padded)
+    # Fixed-ladder goal pad: keeps the compiled shape independent of the
+    # dynamic group composition (shared with the per-puzzle planner buckets).
+    from pushworld_tpu.search.planner import _GOALS_LADDER
+
+    goals = _pad(_GOALS_LADDER, max(p.num_goals for p in padded))
     tables = [
         build_rgd_tables(p, cp, cmax_pad=cmax, max_goals=goals, max_depth=max_depth)
         for p, cp in zip(padded, cps)

@@ -38,6 +38,163 @@ def _classify(puzzle: Puzzle, plan: Optional[List[int]], dt: float) -> PlanResul
     return PlanResult(plan, dt, "invalid plan")
 
 
+def _device_multiplex(
+    named: Sequence[Tuple[str, Puzzle]],
+    mode: str = "N+RGD",
+    time_limit: Optional[float] = 60.0,
+    expand: int = 256,
+    frontier_capacity: int = 1 << 15,
+    visited_bits: int = 21,
+    history_capacity: int = 1 << 21,
+):
+    """Runs one single-lane batched search per puzzle, multiplexed over the
+    chip in pipelined chunks; yields (name, PlanResult) as lanes finish.
+
+    The chip executes one program at a time, so multiplexing independent
+    single-lane programs gets the same device utilization as a stacked
+    multi-lane program while reusing the per-puzzle planner's compiled
+    kernels (a fresh stacked program costs minutes of XLA compile on the
+    axon toolchain).  Chunks are pipelined per lane: lane k's next chunk is
+    enqueued before its previous status is read back, hiding the ~25 ms
+    tunnel round-trip behind other lanes' compute.
+    """
+    import numpy as np
+
+    from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
+    from pushworld_tpu.ops.rgd import build_rgd_tables
+    from pushworld_tpu.search.batched import (
+        EMPTY,
+        BatchedPlanner,
+        required_depth,
+        run_chunk,
+        search_status,
+    )
+    from pushworld_tpu.search.planner import (
+        CHUNK,
+        _CMAX_LADDER,
+        _GOALS_LADDER,
+        _pad,
+        _profile_for,
+    )
+
+    table_budget = float(
+        os.environ.get("PW_DEVICE_TABLE_BUDGET_GB", "4")
+    ) * 1e9
+
+    # Group by (shape profile, RGD depth): lanes of a group share one
+    # compiled program; waves bound the resident distance-table memory.
+    groups: Dict[tuple, list] = {}
+    for name, p in named:
+        if p.is_goal_state(p.initial_state):
+            r = PlanResult([], 0.0, None)
+            yield name, r
+            continue
+        prof = _profile_for(
+            p.num_movables, max(p.height, p.width), compute_delta(p)
+        )
+        groups.setdefault((prof, required_depth(p)), []).append((name, p))
+
+    for (prof, depth), sub in groups.items():
+        n_pad, dim = prof[0], prof[1]
+        rows = 1 if depth == 0 else n_pad
+        bytes_per_lane = rows * (dim * dim) ** 2 * 2  # uint16 D tables
+        wave = max(1, min(len(sub), int(table_budget // max(bytes_per_lane, 1))))
+
+        for w0 in range(0, len(sub), wave):
+            lanes = []
+            for name, p in sub[w0 : w0 + wave]:
+                cp = compile_puzzle(p, n_pad, dim, dim, prof[2])
+                cmax_req = int(
+                    np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1).max()
+                )
+                planner = BatchedPlanner(
+                    p,
+                    cp=cp,
+                    tables=build_rgd_tables(
+                        p,
+                        cp,
+                        cmax_pad=_pad(_CMAX_LADDER, max(1, cmax_req)),
+                        max_goals=_pad(_GOALS_LADDER, p.num_goals),
+                        max_depth=depth,
+                    ),
+                    expand=expand,
+                    frontier_capacity=frontier_capacity,
+                    visited_bits=visited_bits,
+                    history_capacity=history_capacity,
+                    max_depth=depth,
+                    use_novelty=(mode == "N+RGD"),
+                )
+                lanes.append(
+                    {
+                        "name": name,
+                        "puzzle": p,
+                        "planner": planner,
+                        "s": None,
+                        "stat": None,
+                        "t0": None,
+                        "deadline": None,
+                    }
+                )
+
+            while lanes:
+                finished = []
+                for lane in lanes:
+                    pl = lane["planner"]
+                    if lane["s"] is None:
+                        # First dispatch; the budget clock starts after the
+                        # (possibly compiling) dispatch call returns so
+                        # one-time compiles don't eat the puzzle's budget.
+                        s = run_chunk(pl.cp, pl.tables, pl.config, pl.init_state(), CHUNK)
+                        lane["s"], lane["stat"] = s, search_status(s)
+                        lane["t0"] = time.monotonic()
+                        lane["deadline"] = (
+                            None
+                            if time_limit is None
+                            else lane["t0"] + time_limit
+                        )
+                        continue
+                    s_next = run_chunk(pl.cp, pl.tables, pl.config, lane["s"], CHUNK)
+                    stat_next = search_status(s_next)
+                    stat = np.asarray(lane["stat"])  # sync chunk k-1
+                    solved, _, min_key, cursor, _, evictions, _ = (
+                        int(v) for v in stat
+                    )
+                    dt = time.monotonic() - lane["t0"]
+                    if solved:
+                        s = lane["s"]
+                        parent = np.asarray(s.hist_parent)
+                        action = np.asarray(s.hist_action)
+                        idx = int(np.asarray(s.solved_hist))
+                        plan: List[int] = []
+                        while idx > 0:
+                            plan.append(int(action[idx]))
+                            idx = int(parent[idx])
+                        plan.reverse()
+                        r = _classify(lane["puzzle"], plan, dt)
+                        r.solver = "device"
+                        finished.append((lane, r))
+                        continue
+                    if min_key >= EMPTY:
+                        reason = "no solution" if evictions == 0 else "time limit"
+                        r = PlanResult(None, dt, reason)
+                        r.solver = "device"
+                        finished.append((lane, r))
+                        continue
+                    if (
+                        cursor >= history_capacity - 8 * expand
+                        or (lane["deadline"] is not None
+                            and time.monotonic() > lane["deadline"])
+                    ):
+                        r = PlanResult(None, dt, "time limit")
+                        r.solver = "device"
+                        finished.append((lane, r))
+                        continue
+                    lane["s"], lane["stat"] = s_next, stat_next
+                for lane, r in finished:
+                    lanes.remove(lane)
+                    yield lane["name"], r
+
+
 def plan_puzzles_fleet(
     named_puzzles: Sequence[Tuple[str, Puzzle]],
     mode: str = "N+RGD",
@@ -100,7 +257,7 @@ def plan_puzzles_fleet(
                 name, puzzle = dq.popleft()
             t0 = time.monotonic()
             try:
-                plan = bridge.solve_native(
+                plan = bridge.solve_native_staged(
                     puzzle, mode=mode, time_limit=time_limit
                 )
                 r = _classify(puzzle, plan, time.monotonic() - t0)
@@ -133,30 +290,13 @@ def plan_puzzles_fleet(
                 record(name, PlanResult(None, time.monotonic() - t0, "time limit"))
 
     def device_loop() -> None:
-        from pushworld_tpu.core.compiled import compute_delta
-        from pushworld_tpu.parallel.sharded import solve_group
-        from pushworld_tpu.search.batched import required_depth
-        from pushworld_tpu.search.planner import _profile_for
-
-        # Device memory budget for the stacked distance tables; lanes per
-        # sub-group are snapped to powers of two so only a handful of
-        # program shapes ever compile.
-        table_budget = float(
-            os.environ.get("PW_DEVICE_TABLE_BUDGET_GB", "4")
-        ) * 1e9
-
-        def lanes_for(profile, depth):
-            n, dim = profile[0], profile[1]
-            rows = 1 if depth == 0 else n
-            bytes_per_lane = rows * (dim * dim) ** 2 * 2  # uint16 D tables
-            lanes = max(1, int(table_budget // max(bytes_per_lane, 1)))
-            lanes = min(lanes, group_size)
-            # snap down to a power of two
-            p = 1
-            while p * 2 <= lanes:
-                p *= 2
-            return p
-
+        # Multiplexes SINGLE-LANE batched searches over the chip: one chip
+        # runs one program at a time, so a stacked (vmapped) multi-lane
+        # program buys no parallelism there and its compile is pathological
+        # on the axon toolchain (measured: >9 min for 4 lanes vs ~1 min
+        # single-lane, which the persistent cache already holds from the
+        # per-puzzle planner path).  The vmapped group program
+        # (parallel.sharded.solve_group) remains the multi-DEVICE path.
         start = time.monotonic()
         while True:
             with lock:
@@ -175,33 +315,13 @@ def plan_puzzles_fleet(
                     continue
                 group = [dq.pop() for _ in range(min(group_size, avail))]
             group.reverse()
-            # Partition the claim by (shape profile, RGD depth): lanes of a
-            # sub-group share one compiled program and one table footprint.
-            subs = {}
-            for name, p in group:
-                prof = _profile_for(
-                    p.num_movables, max(p.height, p.width), compute_delta(p)
-                )
-                subs.setdefault((prof, required_depth(p)), []).append((name, p))
             processed = set()
             try:
-                for (prof, depth), sub in subs.items():
-                    lanes = lanes_for(prof, depth)
-                    for i in range(0, len(sub), lanes):
-                        chunk_named = sub[i : i + lanes]
-                        rs = solve_group(
-                            chunk_named,
-                            mode=mode,
-                            time_limit=time_limit,
-                            max_depth=depth,
-                            pad_group_to=lanes,
-                            **group_kwargs,
-                        )
-                        for name, _ in chunk_named:
-                            r = rs[name]
-                            r.solver = "device"
-                            record(name, r)
-                            processed.add(name)
+                for name, r in _device_multiplex(
+                    group, mode=mode, time_limit=time_limit, **group_kwargs
+                ):
+                    record(name, r)
+                    processed.add(name)
             except Exception:
                 # Give the unprocessed rest of the claim back to the host
                 # workers.
@@ -228,7 +348,9 @@ def plan_puzzles_fleet(
         t0 = time.monotonic()
         try:
             if native_ok:
-                plan = bridge.solve_native(puzzle, mode=mode, time_limit=time_limit)
+                plan = bridge.solve_native_staged(
+                    puzzle, mode=mode, time_limit=time_limit
+                )
             else:
                 from pushworld_tpu.search.host_planner import solve_host
 

@@ -53,6 +53,7 @@ _PROFILES = [
     (20, 56, 28, 256),  # covers everything (bounds from SURVEY.md §6)
 ]
 _CMAX_LADDER = [p[3] for p in _PROFILES]
+_GOALS_LADDER = [1, 2, 4, 8, 16]
 
 
 def _profile_for(n: int, dim: int, delta: int) -> Tuple[int, int, int, int]:
@@ -104,7 +105,7 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
     def native_job():
         from pushworld_tpu.native import bridge
 
-        return bridge.solve_native(
+        return bridge.solve_native_staged(
             puzzle, compiled=cp, mode=mode, time_limit=time_limit
         )
 
@@ -312,6 +313,11 @@ def plan_puzzles(
             cmax_req = max(cmax_req, int(counts.max()))
             goals_req = max(goals_req, puzzle.num_goals)
         cmax = _pad(_CMAX_LADDER, cmax_req)
+        # Goal-count pad from a fixed ladder: bucket-max padding would make
+        # the compiled shape depend on the dynamic group composition,
+        # defeating the persistent compile cache across runs and between
+        # this path and the fleet's device multiplexer.
+        goals_req = _pad(_GOALS_LADDER, goals_req)
 
         # Warm up this bucket's compiled kernels on the first puzzle so that
         # per-puzzle budgets measure search, not one-time compilation.  Also

@@ -90,3 +90,41 @@ def test_native_memory_limit():
     p = Puzzle.from_file(path)
     with pytest.raises(MemoryError):
         native.solve_native(p, mode="N+RGD", time_limit=30, mem_limit_gb=0.001)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 17])
+def test_native_seed_streams_all_valid(puzzles_dir, seed):
+    # Every action-order stream must yield a valid plan (restart diversity
+    # changes the search order, never the semantics).
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "chain.pwp"))
+    plan = native.solve_native(p, seed=seed, max_expansions=500000)
+    assert plan is not None and p.is_valid_plan(plan)
+
+
+def test_staged_solves_fixture(puzzles_dir):
+    from pushworld_tpu.native.bridge import solve_native_staged
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "heur/two_tools.pwp"))
+    plan = solve_native_staged(p, time_limit=30)
+    assert plan is not None and p.is_valid_plan(plan)
+
+
+def test_staged_no_solution_short_circuits(puzzles_dir):
+    # Any stage proving exhaustively "no solution" ends the portfolio
+    # immediately (the search is complete), well inside the total budget.
+    import time
+
+    from pushworld_tpu.native.bridge import solve_native_staged
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    t0 = time.monotonic()
+    assert solve_native_staged(p, time_limit=60) is None
+    assert time.monotonic() - t0 < 30
+
+
+def test_staged_budget_exhaustion_raises(puzzles_dir):
+    from pushworld_tpu.native.bridge import solve_native_staged
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "heur/two_tools.pwp"))
+    with pytest.raises(TimeoutError):
+        solve_native_staged(p, time_limit=1e-4)
