@@ -181,13 +181,15 @@ def solve_native_staged(
     import time as _time
 
     deadline = _time.monotonic() + time_limit
-    any_memory = False
+    attempted = 0
+    memory_hits = 0
     for i, (st_mode, st_seed, frac) in enumerate(stages):
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
             break
         last = i == len(stages) - 1
         budget = remaining if last else min(remaining, time_limit * frac)
+        attempted += 1
         try:
             return solve_native(
                 puzzle, compiled=compiled, mode=st_mode, time_limit=budget,
@@ -196,9 +198,12 @@ def solve_native_staged(
         except TimeoutError:
             continue
         except MemoryError:
-            any_memory = True
+            memory_hits += 1
             continue
-    if any_memory:
+    # Mixed outcomes classify as "time limit": more budget could still
+    # change the result.  Memory is terminal only when EVERY attempted
+    # stage hit the cap.
+    if attempted and memory_hits == attempted:
         raise MemoryError("native staged portfolio memory limit exhausted")
     raise TimeoutError("native staged portfolio budget exhausted")
 

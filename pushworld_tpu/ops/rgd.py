@@ -29,12 +29,6 @@ import numpy as np
 
 from pushworld_tpu.core.compiled import CompiledPuzzle
 from pushworld_tpu.core.puzzle import Puzzle
-from pushworld_tpu.ops.graphs import (
-    all_pairs_distances,
-    build_reachability,
-    distance_to_targets,
-)
-
 INF = 1e9  # plain float: host code must never sync a device scalar
 FINITE_THRESHOLD = 1e8
 
@@ -43,10 +37,25 @@ DISPLACEMENTS_NP = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], np.int32)
 
 @dataclass(frozen=True)
 class RGDTables:
-    """Precomputed per-puzzle tensors for batched RGD evaluation."""
+    """Precomputed per-puzzle tensors for batched RGD evaluation.
+
+    Graph distances are stored COMPACTLY: each object's all-pairs table is
+    restricted to its movement graph's vertex set (cells incident to a
+    feasible transition, plus the initial cell — every cell the heuristic
+    ever gathers a distance for, see :func:`host_vertex_mask`) and packed
+    row-major into one flat buffer.  At the large bucket profile this cuts
+    the per-puzzle table from ~393 MB (dense (N, HW, HW) at the PADDED grid)
+    to the intrinsic graph size (typically <= ~17 MB on the published
+    benchmark).  Reference analog: the lazy per-position ``PathDistances``
+    objects (domain_transition_graph.cc:266-300) never materialize all
+    HW^2 pairs either.
+    """
 
     E: jax.Array  # bool (4, N, H, W)
-    D: jax.Array  # uint16 (N, HW, HW) all-pairs distances (65535 = INF)
+    Dflat: jax.Array  # uint16 (cap,) packed per-object R_o x R_o blocks (65535 = INF)
+    vidx: jax.Array  # int32 (rows, HW) flat cell -> compact vertex index, -1 = not a vertex
+    doff: jax.Array  # int32 (rows,) start offset of object o's block in Dflat
+    dstride: jax.Array  # int32 (rows,) R_o (row stride of object o's block)
     DG: jax.Array  # f32 (N, H, W) distance-to-goal fields (goal rows only)
     contacts: jax.Array  # int32 (4, N, N, C, 2) rel offsets (rx, ry)
     contacts_mask: jax.Array  # bool (4, N, N, C)
@@ -64,7 +73,8 @@ class RGDTables:
 jax.tree_util.register_dataclass(
     RGDTables,
     data_fields=[
-        "E", "D", "DG", "contacts", "contacts_mask", "goal_pos", "goal_mask", "n_real",
+        "E", "Dflat", "vidx", "doff", "dstride", "DG", "contacts",
+        "contacts_mask", "goal_pos", "goal_mask", "n_real",
     ],
     meta_fields=["n", "max_goals", "height", "width", "cmax"],
 )
@@ -94,42 +104,86 @@ def _movement_graphs_host(puzzle: Puzzle, cp: CompiledPuzzle) -> np.ndarray:
         return E
 
 
+def dflat_required(
+    puzzle: Puzzle, cp: CompiledPuzzle, max_depth: Optional[int] = None
+) -> int:
+    """Packed-distance-buffer entries :func:`build_rgd_tables` will need
+    (sum of R_o^2 over built objects) — used by bucket grouping to pick a
+    shared ``dflat_cap`` before building tables."""
+    from pushworld_tpu.ops.graphs import host_vertex_mask
+
+    E_np = _movement_graphs_host(puzzle, cp)
+    n_built = 1 if max_depth == 0 else min(cp.n, puzzle.num_movables)
+    total = 0
+    for o in range(n_built):
+        init = puzzle.initial_state[o]
+        vm = host_vertex_mask(E_np[:, o], init[1] * cp.width + init[0])
+        total += int(vm.sum()) ** 2
+    return max(total, 1)
+
+
 def build_rgd_tables(
     puzzle: Puzzle,
     cp: CompiledPuzzle,
     cmax_pad: Optional[int] = None,
     max_goals: Optional[int] = None,
     max_depth: Optional[int] = None,
+    dflat_cap: Optional[int] = None,
 ) -> RGDTables:
     """Builds all precomputed tensors (one-time per puzzle).
 
-    ``cmax_pad`` / ``max_goals`` pad the contact lists and goal loop bound to
-    a bucket-wide value so puzzles in one bucket share compiled kernels.
+    ``cmax_pad`` / ``max_goals`` / ``dflat_cap`` pad the contact lists, goal
+    loop bound and packed distance buffer to bucket-wide values so puzzles
+    in one bucket share compiled kernels.
 
     ``max_depth`` (when given) bounds the pushing depth the tables will be
-    used at: depth 0 only ever gathers the AGENT's all-pairs distance table
-    (``rgd_heuristic``'s gathers on ``D[q >= 1]`` exist only in the
-    depth >= 1 trace), so ``D`` is built as (1, HW, HW) — for the large
-    shape profile that cuts the per-puzzle build + host-to-device transfer
-    from ~393 MB to ~20 MB.  Rows for bucket-padding objects (>= n_real)
-    are never gathered with finite contacts and are left at infinity."""
+    used at: depth 0 only ever gathers the AGENT's distances (the gathers
+    on tool rows exist only in the depth >= 1 trace), so only the agent's
+    compact block is built.  Rows for bucket-padding objects (>= n_real)
+    have empty vertex sets and gather INF always (they are never gathered
+    with finite contacts anyway)."""
     N, H, W = cp.n, cp.height, cp.width
+    HW = H * W
 
     # One-time precompute runs entirely on host: the native C worklist for
     # the movement-graph fixpoint and C BFS for distances.  The device
     # kernels (ops/graphs.py) compute identical results (differentially
     # tested) but compile pathologically slowly on some TPU toolchains.
-    from pushworld_tpu.ops.graphs import host_distance_to_targets, host_graph_distances
+    from pushworld_tpu.ops.graphs import (
+        host_distance_to_targets,
+        host_graph_distances_compact,
+        host_vertex_mask,
+    )
 
-    E_np = _movement_graphs_host(puzzle, cp)
-    # uint16 distances halve the per-puzzle table transfer (the large shape
-    # profile's full D is ~400 MB); 65535 encodes infinity.
+    # Compact per-object distance blocks (uint16; 65535 encodes infinity).
     n_rows = 1 if max_depth == 0 else N
     n_built = 1 if max_depth == 0 else min(N, puzzle.num_movables)
-    D_f = np.full((n_rows, H * W, H * W), float(INF), np.float32)
+    E_np = _movement_graphs_host(puzzle, cp)
+    vidx = np.full((n_rows, HW), -1, np.int32)
+    doff = np.zeros((n_rows,), np.int32)
+    dstride = np.zeros((n_rows,), np.int32)
+    blocks = []
+    off = 0
     for o in range(n_built):
-        D_f[o] = host_graph_distances(E_np[:, o])
-    D = jnp.asarray(np.where(D_f >= FINITE_THRESHOLD, 65535, D_f).astype(np.uint16))
+        init = puzzle.initial_state[o]
+        vm = host_vertex_mask(E_np[:, o], init[1] * W + init[0])
+        verts = np.nonzero(vm)[0]
+        R = len(verts)
+        vidx[o, verts] = np.arange(R, dtype=np.int32)
+        doff[o] = off
+        dstride[o] = R
+        Dc = host_graph_distances_compact(E_np[:, o], verts)
+        blocks.append(
+            np.where(Dc >= FINITE_THRESHOLD, 65535, Dc).astype(np.uint16).reshape(-1)
+        )
+        off += R * R
+    cap = dflat_cap if dflat_cap is not None else max(off, 1)
+    if cap < off:
+        raise ValueError(f"dflat_cap={cap} < required {off}")
+    Dflat_np = np.full((cap,), 65535, np.uint16)
+    if off:
+        Dflat_np[:off] = np.concatenate(blocks)
+    Dflat = jnp.asarray(Dflat_np)
 
     DG_list = []
     for o in range(N):
@@ -165,7 +219,10 @@ def build_rgd_tables(
 
     return RGDTables(
         E=E,
-        D=D,
+        Dflat=Dflat,
+        vidx=jnp.asarray(vidx),
+        doff=jnp.asarray(doff),
+        dstride=jnp.asarray(dstride),
         DG=DG,
         contacts=jnp.asarray(contacts),
         contacts_mask=jnp.asarray(contacts_mask),
@@ -180,10 +237,18 @@ def build_rgd_tables(
     )
 
 
-def _d_f32(d_u16: jax.Array) -> jax.Array:
-    """uint16 distance -> float32 with 65535 decoded as INF."""
-    d = d_u16.astype(jnp.float32)
-    return jnp.where(d_u16 == np.uint16(65535), np.float32(INF), d)
+def _gather_D(t: RGDTables, q, u_flat, v_flat) -> jax.Array:
+    """Graph distance dist(u -> v) in object ``q``'s movement graph, read
+    from the compact packed tables.  ``q`` / ``u_flat`` / ``v_flat``
+    broadcast together; cells outside the graph's vertex set are INF."""
+    iu = t.vidx[q, u_flat]
+    iv = t.vidx[q, v_flat]
+    ok = (iu >= 0) & (iv >= 0)
+    idx = t.doff[q] + jnp.maximum(iu, 0) * t.dstride[q] + jnp.maximum(iv, 0)
+    d = t.Dflat[jnp.where(ok, idx, 0)]
+    return jnp.where(
+        ok & (d != np.uint16(65535)), d.astype(jnp.float32), np.float32(INF)
+    )
 
 
 def _flat(t: RGDTables, pos: jax.Array) -> jax.Array:
@@ -214,7 +279,7 @@ def _agent_push_cost(t: RGDTables, states, o, a, p):
     feasible = _gather_E(t, a, 0, c) & mask[None, :]  # (B, C)
     c_flat = jnp.clip(_flat(t, c), 0, t.width * t.height - 1)
     A_flat = _flat(t, A)  # (B,)
-    dist = _d_f32(t.D[0][c_flat, A_flat[:, None]])  # (B, C) dist(c -> A)
+    dist = _gather_D(t, 0, c_flat, A_flat[:, None])  # (B, C) dist(c -> A)
     # Agent graph edges are symmetric (adjacent valid placements), so
     # dist(A -> c) == dist(c -> A); gathering by row c vectorizes better.
     same = jnp.all(c == A[:, None, :], axis=-1)
@@ -255,12 +320,13 @@ def _tool_push_cost(t: RGDTables, states, o, a, p, skip_mask, inner_cost_fn):
     # next_ok: (B, N, 4) — E[a', q, Q]: q's transition in direction a' feasible.
     P_next_flat = jnp.clip(_flat(t, P_next), 0, HW - 1)  # (B, N, 4)
 
-    # dist_q(P', c) for every (q, a', contact): gather from D[q].
-    # D: (N, HW, HW); indices: q, P'_flat (B,N,4,1), c_flat (B,N,1,C).
-    dist = _d_f32(
-        t.D[np.arange(N)[None, :, None, None],
-            P_next_flat[:, :, :, None],
-            c_flat[:, :, None, :]]
+    # dist_q(P', c) for every (q, a', contact), from q's compact block;
+    # indices: q, P'_flat (B,N,4,1), c_flat (B,N,1,C).
+    dist = _gather_D(
+        t,
+        np.arange(N)[None, :, None, None],
+        P_next_flat[:, :, :, None],
+        c_flat[:, :, None, :],
     )  # (B, N, 4, C)
 
     # Simultaneous push: contact == Q and a' == a.
@@ -299,7 +365,8 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
     a_idx = np.arange(4)[None, :, None, None]
     feasible = _gather_E(t, a_idx, 0, c) & mask[None]  # (B, 4, N, C)
     c_flat = jnp.clip(_flat(t, c), 0, HW - 1)
-    dist = _d_f32(t.D[0][c_flat, A_flat[:, None, None, None]])  # symmetric agent graph
+    # Agent graph edges are symmetric, so dist(A -> c) == dist(c -> A).
+    dist = _gather_D(t, 0, c_flat, A_flat[:, None, None, None])
     same = jnp.all(c == A[:, None, None, None, :], axis=-1)
     v = jnp.where(same, 0.0, dist)
     v = jnp.where(feasible, v, INF)

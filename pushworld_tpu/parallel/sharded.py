@@ -116,8 +116,18 @@ def solve_group(
     from pushworld_tpu.search.planner import _GOALS_LADDER
 
     goals = _pad(_GOALS_LADDER, max(p.num_goals for p in padded))
+    from pushworld_tpu.ops.rgd import dflat_required
+    from pushworld_tpu.search.planner import _DFLAT_LADDER
+
+    dflat = _pad(
+        _DFLAT_LADDER,
+        max(dflat_required(p, cp, max_depth) for p, cp in zip(padded, cps)),
+    )
     tables = [
-        build_rgd_tables(p, cp, cmax_pad=cmax, max_goals=goals, max_depth=max_depth)
+        build_rgd_tables(
+            p, cp, cmax_pad=cmax, max_goals=goals, max_depth=max_depth,
+            dflat_cap=dflat,
+        )
         for p, cp in zip(padded, cps)
     ]
 

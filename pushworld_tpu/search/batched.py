@@ -173,6 +173,21 @@ def _init_state_jit(
     )
 
 
+def reconstruct_plan(s: "SearchState") -> List[int]:
+    """Backtracks the device-side (parent index, action) history of a solved
+    search into the action list (host-side; reads back the history arrays).
+    Shared by every driver of the batched search."""
+    parent = np.asarray(s.hist_parent)
+    action = np.asarray(s.hist_action)
+    idx = int(np.asarray(s.solved_hist))
+    plan: List[int] = []
+    while idx > 0:
+        plan.append(int(action[idx]))
+        idx = int(parent[idx])
+    plan.reverse()
+    return plan
+
+
 @jax.jit
 def search_status(s: "SearchState") -> jax.Array:
     """Packs the host-visible search status into ONE int32 vector so the
@@ -312,16 +327,7 @@ class BatchedPlanner:
                 raise TimeoutError("history capacity exhausted")
             s_prev, stat_prev = s_next, stat_next
 
-        # Reconstruct the plan on host.
-        parent = np.asarray(s.hist_parent)
-        action = np.asarray(s.hist_action)
-        idx = int(np.asarray(s.solved_hist))
-        plan: List[int] = []
-        while idx > 0:
-            plan.append(int(action[idx]))
-            idx = int(parent[idx])
-        plan.reverse()
-        return plan
+        return reconstruct_plan(s)
 
 
 def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:

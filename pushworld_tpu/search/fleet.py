@@ -61,10 +61,11 @@ def _device_multiplex(
     import numpy as np
 
     from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
-    from pushworld_tpu.ops.rgd import build_rgd_tables
+    from pushworld_tpu.ops.rgd import build_rgd_tables, dflat_required
     from pushworld_tpu.search.batched import (
         EMPTY,
         BatchedPlanner,
+        reconstruct_plan,
         required_depth,
         run_chunk,
         search_status,
@@ -72,17 +73,20 @@ def _device_multiplex(
     from pushworld_tpu.search.planner import (
         CHUNK,
         _CMAX_LADDER,
+        _DFLAT_LADDER,
         _GOALS_LADDER,
         _pad,
         _profile_for,
     )
 
+    # Full per-lane device-memory budget (tables + search state).
     table_budget = float(
         os.environ.get("PW_DEVICE_TABLE_BUDGET_GB", "4")
     ) * 1e9
 
-    # Group by (shape profile, RGD depth): lanes of a group share one
-    # compiled program; waves bound the resident distance-table memory.
+    # Group by (shape profile, RGD depth, packed-distance-cap rung): lanes
+    # of a group share one compiled program; waves bound the resident
+    # per-lane device memory.
     groups: Dict[tuple, list] = {}
     for name, p in named:
         if p.is_goal_state(p.initial_state):
@@ -92,18 +96,33 @@ def _device_multiplex(
         prof = _profile_for(
             p.num_movables, max(p.height, p.width), compute_delta(p)
         )
-        groups.setdefault((prof, required_depth(p)), []).append((name, p))
+        cp = compile_puzzle(p, prof[0], prof[1], prof[1], prof[2])
+        depth = required_depth(p)
+        dflat = _pad(_DFLAT_LADDER, dflat_required(p, cp, depth))
+        groups.setdefault((prof, depth, dflat), []).append((name, p, cp))
 
-    for (prof, depth), sub in groups.items():
+    for (prof, depth, dflat), sub in groups.items():
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
-        bytes_per_lane = rows * (dim * dim) ** 2 * 2  # uint16 D tables
+        # Per-lane footprint: packed distances (uint16, ladder cap), the
+        # vidx maps, plus the search-state buffers (history, frontier,
+        # visited, novelty) — all resident per lane while a wave runs.
+        hw = dim * dim
+        bytes_per_lane = (
+            dflat * 2
+            + rows * hw * 4  # vidx
+            + 4 * n_pad * hw  # E (bool)
+            + n_pad * hw * 4  # DG
+            + 2 * 4 * history_capacity  # hist_parent + hist_action
+            + frontier_capacity * (n_pad * 2 + 4) * 4  # frontier arrays
+            + (1 << visited_bits) * 8  # visited hash set
+            + n_pad * hw  # novelty position table (bitset-ish bound)
+        )
         wave = max(1, min(len(sub), int(table_budget // max(bytes_per_lane, 1))))
 
         for w0 in range(0, len(sub), wave):
             lanes = []
-            for name, p in sub[w0 : w0 + wave]:
-                cp = compile_puzzle(p, n_pad, dim, dim, prof[2])
+            for name, p, cp in sub[w0 : w0 + wave]:
                 cmax_req = int(
                     np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1).max()
                 )
@@ -116,6 +135,7 @@ def _device_multiplex(
                         cmax_pad=_pad(_CMAX_LADDER, max(1, cmax_req)),
                         max_goals=_pad(_GOALS_LADDER, p.num_goals),
                         max_depth=depth,
+                        dflat_cap=dflat,
                     ),
                     expand=expand,
                     frontier_capacity=frontier_capacity,
@@ -161,21 +181,20 @@ def _device_multiplex(
                     )
                     dt = time.monotonic() - lane["t0"]
                     if solved:
-                        s = lane["s"]
-                        parent = np.asarray(s.hist_parent)
-                        action = np.asarray(s.hist_action)
-                        idx = int(np.asarray(s.solved_hist))
-                        plan: List[int] = []
-                        while idx > 0:
-                            plan.append(int(action[idx]))
-                            idx = int(parent[idx])
-                        plan.reverse()
-                        r = _classify(lane["puzzle"], plan, dt)
+                        r = _classify(lane["puzzle"], reconstruct_plan(lane["s"]), dt)
                         r.solver = "device"
                         finished.append((lane, r))
                         continue
                     if min_key >= EMPTY:
-                        reason = "no solution" if evictions == 0 else "time limit"
+                        # With evictions the search is inconclusive (pruned
+                        # states can't be re-generated): distinct reason for
+                        # debugging; the benchmark harness maps it to the
+                        # reference's "time limit" taxonomy at reporting.
+                        reason = (
+                            "no solution"
+                            if evictions == 0
+                            else "frontier exhausted after evictions"
+                        )
                         r = PlanResult(None, dt, reason)
                         r.solver = "device"
                         finished.append((lane, r))
@@ -322,9 +341,18 @@ def plan_puzzles_fleet(
                 ):
                     record(name, r)
                     processed.add(name)
-            except Exception:
+            except Exception as e:
                 # Give the unprocessed rest of the claim back to the host
-                # workers.
+                # workers — but loudly: a silent return would degrade every
+                # future run to host-only with no trace of the device bug.
+                import traceback
+
+                print(
+                    f"[fleet] device worker failed ({type(e).__name__}: {e}); "
+                    f"returning {len(group) - len(processed)} puzzles to host queue",
+                    flush=True,
+                )
+                traceback.print_exc()
                 with lock:
                     dq.extend(g for g in group if g[0] not in processed)
                 return

@@ -54,6 +54,10 @@ _PROFILES = [
 ]
 _CMAX_LADDER = [p[3] for p in _PROFILES]
 _GOALS_LADDER = [1, 2, 4, 8, 16]
+# Packed compact-distance buffer capacities (entries).  The published
+# benchmark's worst puzzle needs ~30M entries (60 MB uint16); the typical
+# hard instance needs <= ~9M.
+_DFLAT_LADDER = [1 << 20, 1 << 23, 1 << 25]
 
 
 def _profile_for(n: int, dim: int, delta: int) -> Tuple[int, int, int, int]:
@@ -100,7 +104,12 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
 
     import numpy as _np
 
-    from pushworld_tpu.search.batched import EMPTY, run_chunk, search_status
+    from pushworld_tpu.search.batched import (
+        EMPTY,
+        reconstruct_plan,
+        run_chunk,
+        search_status,
+    )
 
     def native_job():
         from pushworld_tpu.native import bridge
@@ -182,15 +191,7 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
             if debug:
                 print(f"    [chunk {chunks} iters={iters}]", flush=True)
             if solved:
-                parent = _np.asarray(s.hist_parent)
-                action = _np.asarray(s.hist_action)
-                idx = int(_np.asarray(s.solved_hist))
-                plan = []
-                while idx > 0:
-                    plan.append(int(action[idx]))
-                    idx = int(parent[idx])
-                plan.reverse()
-                return plan
+                return reconstruct_plan(s)
             if min_key >= EMPTY:
                 device_dead = (
                     "no solution" if evictions == 0 else "inconclusive"
@@ -304,7 +305,10 @@ def plan_puzzles(
         cps = {}
         cmax_req = 1
         goals_req = 1
+        dflat_req = 1
         import numpy as np
+
+        from pushworld_tpu.ops.rgd import dflat_required
 
         for name, puzzle, _ in group:
             cp = compile_puzzle(puzzle, n_pad, h_pad, w_pad, delta)
@@ -312,7 +316,9 @@ def plan_puzzles(
             counts = np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1)
             cmax_req = max(cmax_req, int(counts.max()))
             goals_req = max(goals_req, puzzle.num_goals)
+            dflat_req = max(dflat_req, dflat_required(puzzle, cp, depth))
         cmax = _pad(_CMAX_LADDER, cmax_req)
+        dflat = _pad(_DFLAT_LADDER, dflat_req)
         # Goal-count pad from a fixed ladder: bucket-max padding would make
         # the compiled shape depend on the dynamic group composition,
         # defeating the persistent compile cache across runs and between
@@ -335,7 +341,7 @@ def plan_puzzles(
                 first_name, first_puzzle, _ = group[0]
                 warm_tables = build_rgd_tables(
                     first_puzzle, cps[first_name], cmax_pad=cmax,
-                    max_goals=goals_req, max_depth=depth,
+                    max_goals=goals_req, max_depth=depth, dflat_cap=dflat,
                 )
                 warm_planner = BatchedPlanner(
                     first_puzzle,
@@ -377,7 +383,7 @@ def plan_puzzles(
 
             tables = build_rgd_tables(
                 g_puzzle, cps[g_name], cmax_pad=cmax, max_goals=goals_req,
-                max_depth=depth,
+                max_depth=depth, dflat_cap=dflat,
             )
             # Issue the H2D transfers here so they overlap earlier solves
             # (the tables are multi-MB; the tunnel pays ~1.4 s per puzzle

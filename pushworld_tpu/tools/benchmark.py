@@ -94,16 +94,24 @@ def benchmark_planner(
 def _write_result(
     out_path: str, planner_name: str, name: str, r: PlanResult, time_limit: float
 ) -> None:
+    # Internal diagnostic reasons (e.g. "frontier exhausted after
+    # evictions": the device search pruned states it cannot re-generate, so
+    # the outcome is inconclusive) map onto the reference harness's
+    # taxonomy {time limit, no solution, memory error, invalid plan}
+    # (reference: benchmark_rgd.py:94-117) at this reporting layer.
+    reason = r.failure_reason
+    if reason == "frontier exhausted after evictions":
+        reason = "time limit"
     doc = {
         "planner": planner_name,
         "puzzle": name,
-        "plan": plan_to_string(r.plan) if r.plan is not None and not r.failure_reason else None,
+        "plan": plan_to_string(r.plan) if r.plan is not None and not reason else None,
         "planning_time": float(
-            time_limit if r.failure_reason == "time limit" else r.planning_time
+            time_limit if reason == "time limit" else r.planning_time
         ),
     }
-    if r.failure_reason is not None:
-        doc["failure_reason"] = r.failure_reason
+    if reason is not None:
+        doc["failure_reason"] = reason
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         yaml.safe_dump(doc, f, sort_keys=False)
