@@ -280,10 +280,10 @@ window.addEventListener("DOMContentLoaded", () => {
       samples.appendChild(opt);
     }
     samples.addEventListener("change", () => {
-      if (samples.value) player.load(SAMPLE_PUZZLES[samples.value]);
+      if (samples.value) player.load(SAMPLE_PUZZLES[samples.value].pwp);
     });
     const first = Object.keys(SAMPLE_PUZZLES)[0];
-    if (first) { samples.value = first; player.load(SAMPLE_PUZZLES[first]); }
+    if (first) { samples.value = first; player.load(SAMPLE_PUZZLES[first].pwp); }
   }
 
   document.getElementById("file").addEventListener("change", (e) => {

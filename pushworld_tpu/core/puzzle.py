@@ -216,12 +216,19 @@ class Puzzle:
         self._walls_obj = PushWorldObject(
             (0, 0), Colors.WALL, Colors.WALL_BORDER, frozenset(self.wall_cells)
         )
+        # Render parity quirk: the reference merges the wall cells into its
+        # agent-wall pixel set IN PLACE for the agent's collision map
+        # (reference: puzzle.py:273 ``obj_pixels["aw"].update(...)``), and
+        # its renderable agent-walls object aliases that same set — so the
+        # reference draws agent-walls with borders suppressed against walls
+        # (walls are painted afterwards and overpaint their own cells).
+        # Pixel-exact goldens (tests/goldens) pin this behavior.
         self._agent_walls_obj = (
             PushWorldObject(
                 (0, 0),
                 Colors.AGENT_WALL,
                 Colors.AGENT_WALL_BORDER,
-                frozenset(self.agent_wall_cells),
+                frozenset(self.agent_wall_cells | self.wall_cells),
             )
             if self.agent_wall_cells
             else None

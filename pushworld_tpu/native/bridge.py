@@ -81,13 +81,18 @@ def solve_native(
     max_expansions: int = 0,
     plan_capacity: int = 1 << 16,
     seed: int = 0,
+    queue: str = "lifo",
 ) -> Optional[List[int]]:
     """Solves with the native planner.  Returns the plan, None for no
     solution, or raises TimeoutError / MemoryError / RuntimeError.
 
     ``mem_limit_gb`` mirrors the reference benchmark protocol's 30 GB
     address-space rlimit (reference: utils/process.py:61-71) as an
-    in-process cap on the search's dominant allocations."""
+    in-process cap on the search's dominant allocations.
+
+    ``queue`` selects the within-bucket expansion order ("lifo" or
+    "fifo"); greedy best-first outcomes are ordering-sensitive and the
+    staged portfolio exploits both disciplines."""
     from pushworld_tpu.core.compiled import compile_puzzle
 
     lib = _load()
@@ -114,7 +119,7 @@ def solve_native(
         init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         goals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         puzzle.num_goals,
-        1 if mode == "N+RGD" else 0,
+        (1 if mode == "N+RGD" else 0) | (2 if queue == "fifo" else 0),
         -1.0 if time_limit is None else float(time_limit),
         float(mem_limit_gb),
         int(max_expansions),

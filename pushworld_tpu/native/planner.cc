@@ -459,38 +459,55 @@ struct Visited {
   }
 };
 
-// Two-level bucket queue: novelty tier (0..2) x integer rgd value, LIFO
-// within a bucket; infinite-rgd states go to an overflow tier popped last.
+// Two-level bucket queue: novelty tier (0..2) x integer rgd value;
+// infinite-rgd states go to an overflow tier popped last.  Within a bucket
+// the discipline is LIFO (depth-first plateau descent; the reference's
+// BucketPriorityQueue stacks, priority_queue.h:191-221) or FIFO
+// (breadth-like plateau sweep, closer to its FibonacciPriorityQueue's
+// behavior on ties) — greedy best-first outcomes are ordering-sensitive, so
+// the staged portfolio runs both.  FIFO pops advance a head cursor instead
+// of erasing (amortized O(1); memory is reclaimed when a bucket drains).
 struct BucketQueue {
-  std::vector<std::vector<std::vector<int32_t>>> tiers; // [tier][rgd] -> nodes
-  std::vector<int32_t> overflow;
+  struct Bucket {
+    std::vector<int32_t> v;
+    size_t head = 0;  // FIFO cursor
+    bool empty() const { return head >= v.size(); }
+  };
+  std::vector<std::vector<Bucket>> tiers; // [tier][rgd] -> nodes
+  Bucket overflow;
   size_t count = 0;
+  bool fifo = false;
 
-  BucketQueue() : tiers(3) {}
+  explicit BucketQueue(bool fifo_order = false) : tiers(3), fifo(fifo_order) {}
 
   void push(int32_t node, float novelty, float rgd) {
     count++;
-    if (rgd == kInf) { overflow.push_back(node); return; }
+    if (rgd == kInf) { overflow.v.push_back(node); return; }
     const int tier = (int)novelty - 1;
     const size_t r = (size_t)rgd;
     auto& t = tiers[tier];
     if (t.size() <= r) t.resize(r + 1);
-    t[r].push_back(node);
+    t[r].v.push_back(node);
+  }
+
+  int32_t pop_bucket(Bucket& b) {
+    int32_t v;
+    if (fifo) {
+      v = b.v[b.head++];
+      if (b.empty()) { b.v.clear(); b.head = 0; }
+    } else {
+      v = b.v.back();
+      b.v.pop_back();
+    }
+    count--;
+    return v;
   }
 
   int32_t pop() {
     for (auto& tier : tiers)
       for (auto& bucket : tier)
-        if (!bucket.empty()) {
-          const int32_t v = bucket.back();
-          bucket.pop_back();
-          count--;
-          return v;
-        }
-    const int32_t v = overflow.back();
-    overflow.pop_back();
-    count--;
-    return v;
+        if (!bucket.empty()) return pop_bucket(bucket);
+    return pop_bucket(overflow);
   }
 
   bool empty() const { return count == 0; }
@@ -604,7 +621,10 @@ static int64_t pw_solve_impl(
   // Start small and double on load: easy puzzles avoid zeroing a huge
   // table every call, hard searches grow as far as the memory cap allows.
   Visited visited(16, &arena, n);
-  BucketQueue frontier;
+  // use_novelty bit 0: lexicographic novelty stacking; bit 1: FIFO
+  // within-bucket order (LIFO otherwise).
+  BucketQueue frontier((use_novelty & 2) != 0);
+  use_novelty &= 1;
 
   const int32_t root = add_node(pz.init_state.data(), -1, -1);
   visited.insert(pz.init_state.data(), root);

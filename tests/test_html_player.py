@@ -28,15 +28,22 @@ def _read(name: str) -> str:
 
 def _sample_puzzles() -> dict:
     src = _read("sample_puzzles.js")
-    # "name": `body`,
-    pairs = re.findall(r'"([^"]+)":\s*`([^`]*)`', src)
+    # "name": { pwp: `body`, solution: "RR" },
+    pairs = re.findall(
+        r'"([^"]+)":\s*\{\s*pwp:\s*`([^`]*)`,\s*solution:\s*"([A-Z]*)"', src
+    )
     assert pairs, "no sample puzzles found in sample_puzzles.js"
-    return dict(pairs)
+    return {name: (pwp, sol) for name, pwp, sol in pairs}
 
 
 def test_sample_puzzles_parse_and_solve():
-    for name, body in _sample_puzzles().items():
+    from pushworld_tpu.core.puzzle import plan_from_string
+
+    for name, (body, solution) in _sample_puzzles().items():
         puzzle = Puzzle.from_text(body)
+        # The embedded solution (used by the in-browser smoke test and the
+        # hint button) must replay to goal on the semantic oracle.
+        assert puzzle.is_valid_plan(plan_from_string(solution)), name
         plan = solve_host(puzzle, mode="N+RGD", time_limit=10.0)
         assert plan is not None, f"sample {name!r} is unsolvable"
         assert plan == [] or puzzle.is_valid_plan(plan), name

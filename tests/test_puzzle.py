@@ -200,3 +200,23 @@ def test_render_plan_frames(puzzles_dir):
     frames = p.render_plan([R, R], pixels_per_cell=5, border_width=1)
     assert len(frames) == 3
     assert not np.array_equal(frames[0], frames[1])
+
+
+# ---------------------------------------------------------------- goldens
+
+GOLDEN_FIXTURES = ["trivial", "transitive_pushing", "multiple_goals", "trivial_overlap"]
+
+
+@pytest.mark.parametrize("name", GOLDEN_FIXTURES)
+def test_render_matches_reference_golden(puzzles_dir, name):
+    """Pixel-exact parity with the reference renderer (reference:
+    python3/src/pushworld/puzzle.py:426-469): goldens in tests/goldens were
+    rendered by the reference implementation on its own test fixtures
+    (border_width=1, pixels_per_cell=10)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    p = Puzzle.from_file(os.path.join(here, "puzzles", "ref", name + ".pwp"))
+    golden = np.load(os.path.join(here, "goldens", f"render_{name}.npy"))
+    img = p.render(p.initial_state, border_width=1, pixels_per_cell=10)
+    assert img.shape == golden.shape
+    assert img.dtype == golden.dtype
+    np.testing.assert_array_equal(img, golden)
