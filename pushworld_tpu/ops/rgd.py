@@ -14,14 +14,16 @@ triples using precomputed structures:
 ``fewest_tools`` semantics (the planner default, reference:
 recursive_graph_distance.cc:101-112) are reproduced per state per goal
 object: the cost at the smallest pushing depth with a finite value, trying
-depths 0..max_depth.  ``max_depth`` is a static compile-time bound (2 covers
-the published benchmark; the host oracle in
-:mod:`pushworld_tpu.search.heuristics_host` has no depth bound).
+depths 0..max_depth.  ``max_depth`` is a static compile-time bound; the
+recursion generalizes to any depth via memoized per-(skip set, depth)
+pushing-cost tables (:func:`_all_dirs_cost`).  The host oracle in
+:mod:`pushworld_tpu.search.heuristics_host` has no depth bound and is the
+differential-test reference.
 """
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -381,13 +383,23 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
     Args:
         t: precomputed tables.
         states: (B, N, 2) int32.
-        max_depth: maximum pushing depth (static; 0..2 supported).
+        max_depth: maximum pushing depth (static).  Any depth is supported
+            (the reference iterates to n-2, recursive_graph_distance.cc:
+            101-112); trace size grows ~4N^2 tool-push evaluations per goal
+            per extra depth, so production routing caps depth by profile
+            (see search.batched.required_depth).
 
     Returns:
         (B,) float32; unreachable goals yield values >= 1e9.
     """
     B = states.shape[0]
     total = jnp.asarray(np.zeros((B,), np.float32))
+    # Memoized per-(skip set, depth) pushing-cost tables, shared across
+    # goals/directions within one trace (the reference memoizes the same
+    # quantity per state in its PushingCostCache,
+    # recursive_graph_distance.cc:176-252; here whole-batch tables are
+    # reused across the traced expression instead).
+    cache: dict = {}
 
     for k in range(t.max_goals):
         o = k + 1
@@ -409,12 +421,11 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
                 if depth == 0:
                     pc = _agent_push_cost(t, states, o, a, p)
                 else:
-                    if depth == 1:
-                        def inner(Q, _):
-                            return _push_cost_all_dirs_depth0(t, states)
-                    else:  # depth == 2
-                        def inner(Q, _, _o=o):
-                            return _tool_push_cost_all_dirs_depth1(t, states, _o)
+                    inner_tbl = _all_dirs_cost(t, states, (o,), depth - 1, cache)
+
+                    def inner(Q, _, _tbl=inner_tbl):
+                        return _tbl
+
                     skip = np.zeros((B, t.n), bool)
                     pc = _tool_push_cost(t, states, o, a, p, skip, inner)
                 cost_dirs.append(jnp.where(e_ok, goal_dist + pc, INF))
@@ -437,28 +448,55 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
     return total
 
 
-def _tool_push_cost_all_dirs_depth1(t: RGDTables, states, skip_o: int):
-    """(B, N, 4): depth-1 cost of object q's transition Q -> Q + d_{a'}
-    (a second tool r pushes q; the agent pushes r), excluding pusher
-    ``skip_o`` from the candidate tools r (it is already in the chain)."""
-    B, N = states.shape[0], t.n
-    inner0 = _push_cost_all_dirs_depth0(t, states)  # (B, N, 4) for tools r
+def _all_dirs_cost(
+    t: RGDTables,
+    states: jax.Array,
+    skip_objs: Tuple[int, ...],
+    depth: int,
+    cache: dict,
+):
+    """(B, N, 4): cost of object q's transition Q -> Q + d_{a'} at pushing
+    depth ``depth``, for every candidate q and direction a', with the
+    chain-exclusion set ``skip_objs`` (objects already being pushed up the
+    chain; the reference forbids reusing them,
+    recursive_graph_distance.cc:114-174).
 
-    out = []
-    for a_prime in range(4):
-        costs_q = []
-        # For each candidate q, compute tool-push cost of its transition in
-        # direction a_prime, with skip set {skip_o, q}.
-        # Vectorize over q by reusing _tool_push_cost per q (N small).
+    Feasibility of the transition itself is NOT included (callers mask
+    with E).  Tables are memoized per (skip set, depth): within one trace
+    the same table is needed by every (goal, direction) pair that shares a
+    chain prefix, which keeps the depth-3 trace polynomial (4N + 4N^2
+    tool-push evaluations per goal instead of 16N^2+)."""
+    key = (frozenset(skip_objs), depth)
+    if key in cache:
+        return cache[key]
+    if depth == 0:
+        # Agent pushes: the skip set never contains the agent (reference
+        # semantics — only movable tools enter the chain), so all depth-0
+        # tables coincide.
+        out = cache.get(("depth0",))
+        if out is None:
+            out = _push_cost_all_dirs_depth0(t, states)
+            cache[("depth0",)] = out
+    else:
+        B, N = states.shape[0], t.n
+        skip = np.zeros((B, N), bool)
+        for s in skip_objs:
+            skip[:, s] = True
+        cols = []
         for q in range(N):
-            skip = np.zeros((B, N), bool)
-            skip[:, skip_o] = True
+            inner_tbl = _all_dirs_cost(
+                t, states, tuple(sorted(set(skip_objs) | {q})), depth - 1, cache
+            )
 
-            def inner(Qs, _):
-                return inner0
+            def inner(Qs, _, _tbl=inner_tbl):
+                return _tbl
 
             pq = states[:, q, :]
-            c = _tool_push_cost(t, states, q, a_prime, pq, skip, inner)
-            costs_q.append(c)
-        out.append(jnp.stack(costs_q, axis=1))  # (B, N)
-    return jnp.stack(out, axis=2)  # (B, N, 4)
+            per_dir = [
+                _tool_push_cost(t, states, q, a_prime, pq, skip, inner)
+                for a_prime in range(4)
+            ]
+            cols.append(jnp.stack(per_dir, axis=1))  # (B, 4)
+        out = jnp.stack(cols, axis=1)  # (B, N, 4)
+    cache[key] = out
+    return out

@@ -460,9 +460,13 @@ def solve_batched(
     return planner.solve(time_limit=time_limit)
 
 
-def required_depth(puzzle: Puzzle, cap: int = 2) -> int:
+def required_depth(puzzle: Puzzle, cap: int = 3) -> int:
     """Fewest-tools pushing depth needed at the initial state (host oracle),
-    capped; used to pick the static depth of the batched heuristic."""
+    capped; used to pick the static depth of the batched heuristic.
+
+    The cap bounds compile cost (the depth-d trace grows ~4N^2 tool-push
+    evaluations per goal per depth); depth-3 covers every published
+    benchmark instance whose initial state needs three tools."""
     from pushworld_tpu.search.heuristics_host import RecursiveGraphDistance
 
     rgd = RecursiveGraphDistance(puzzle, fewest_tools=True)

@@ -66,3 +66,35 @@ def test_rgd_batched_matches_host(puzzles_dir, name):
             assert got >= 1e8, (name, i, s, got)
         else:
             assert got == pytest.approx(expected), (name, i, s, expected, got)
+
+
+def test_rgd_batched_depth3_matches_host(puzzles_dir):
+    """three_tools needs pushing depth exactly 3 at the initial state
+    (host oracle: INF at depths 0-2, finite at 3) — the generalized
+    memoized recursion must match the unbounded oracle, and the depth-2
+    evaluation must INF-out (reference analog: fewest_tools iterates
+    depth upward, recursive_graph_distance.cc:101-112)."""
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.rgd import build_rgd_tables, rgd_heuristic
+
+    puzzle = load(puzzles_dir, "three_tools")
+    cp = compile_puzzle(puzzle)
+    tables = build_rgd_tables(puzzle, cp)
+    host = RecursiveGraphDistance(puzzle, cp, fewest_tools=True)
+
+    states = reachable_states(puzzle)
+    batch = np.zeros((len(states), cp.n, 2), np.int32)
+    for i, s in enumerate(states):
+        batch[i, : puzzle.num_movables] = s
+
+    out3 = np.asarray(rgd_heuristic(tables, jnp.asarray(batch), max_depth=3))
+    out2 = np.asarray(rgd_heuristic(tables, jnp.asarray(batch), max_depth=2))
+    assert out2[0] >= 1e8  # depth <= 2 cannot see the three-tool chain
+    for i, s in enumerate(states):
+        expected = host.estimate(s)
+        got = float(out3[i])
+        if math.isinf(expected):
+            assert got >= 1e8, (i, s, got)
+        else:
+            assert got == pytest.approx(expected), (i, s, expected, got)
