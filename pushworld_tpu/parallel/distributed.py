@@ -125,25 +125,26 @@ def plan_puzzles_distributed(
     if nproc == 1:
         return local_results
 
-    # Exchange results via the distributed KV store (client attribute is
-    # stable across recent jax versions; fall back to returning local-only
-    # results if unavailable).
-    client = getattr(
-        jax._src.distributed.global_state, "client", None
-    )  # noqa: SLF001
-    if client is None:
-        return local_results
+    # Exchange results with the PUBLIC cross-process API: serialize each
+    # process's result dict to bytes and process_allgather them (two tiny
+    # collectives: lengths, then max-length-padded payloads).  Payloads are
+    # kilobytes, so riding the device collective path costs nothing and
+    # avoids any private coordinator-client API.
+    import numpy as np
+    from jax.experimental import multihost_utils
 
     blob = json.dumps(
         [_result_to_json(n, r) for n, r in local_results.items()]
-    )
-    client.key_value_set(f"pw_results/{pid}", blob)
-    client.wait_at_barrier("pw_results_ready", 600_000)
+    ).encode()
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.int32(len(blob)))
+    ).reshape(-1)
+    buf = np.zeros((int(lens.max()),), np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, np.uint8)
+    all_bufs = np.asarray(multihost_utils.process_allgather(buf))
 
     merged: Dict[str, PlanResult] = {}
     for other in range(nproc):
-        other_blob = client.blocking_key_value_get(
-            f"pw_results/{other}", 600_000
-        )
+        other_blob = bytes(all_bufs[other][: int(lens[other])]).decode()
         merged.update(_results_from_json(other_blob))
     return merged
