@@ -29,6 +29,18 @@ from pushworld_tpu.search.planner import PlanResult
 
 __all__ = ["plan_puzzles_fleet"]
 
+# Per-run device phase breakdown (SURVEY §5 tracing row): reset by
+# plan_puzzles_fleet, filled by _device_multiplex, read by bench.py.
+_device_stats: Dict[str, float] = {}
+
+
+def _reset_device_stats() -> None:
+    _device_stats.clear()
+    _device_stats.update(
+        table_build_s=0.0, table_bytes=0, chunk_dispatches=0,
+        status_sync_s=0.0, lanes=0, solved=0,
+    )
+
 
 def _classify(puzzle: Puzzle, plan: Optional[List[int]], dt: float) -> PlanResult:
     if plan is None:
@@ -58,6 +70,7 @@ def _device_multiplex(
     enqueued before its previous status is read back, hiding the ~25 ms
     tunnel round-trip behind other lanes' compute.
     """
+    import jax as _jax
     import numpy as np
 
     from pushworld_tpu.core.compiled import compile_puzzle, compute_delta
@@ -126,17 +139,26 @@ def _device_multiplex(
                 cmax_req = int(
                     np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1).max()
                 )
+                tb0 = time.monotonic()
+                tables = build_rgd_tables(
+                    p,
+                    cp,
+                    cmax_pad=_pad(_CMAX_LADDER, max(1, cmax_req)),
+                    max_goals=_pad(_GOALS_LADDER, p.num_goals),
+                    max_depth=depth,
+                    dflat_cap=dflat,
+                )
+                if _device_stats:
+                    _device_stats["table_build_s"] += time.monotonic() - tb0
+                    _device_stats["table_bytes"] += sum(
+                        getattr(leaf, "nbytes", 0)
+                        for leaf in _jax.tree_util.tree_leaves(tables)
+                    )
+                    _device_stats["lanes"] += 1
                 planner = BatchedPlanner(
                     p,
                     cp=cp,
-                    tables=build_rgd_tables(
-                        p,
-                        cp,
-                        cmax_pad=_pad(_CMAX_LADDER, max(1, cmax_req)),
-                        max_goals=_pad(_GOALS_LADDER, p.num_goals),
-                        max_depth=depth,
-                        dflat_cap=dflat,
-                    ),
+                    tables=tables,
                     expand=expand,
                     frontier_capacity=frontier_capacity,
                     visited_bits=visited_bits,
@@ -175,7 +197,11 @@ def _device_multiplex(
                         continue
                     s_next = run_chunk(pl.cp, pl.tables, pl.config, lane["s"], CHUNK)
                     stat_next = search_status(s_next)
+                    sync0 = time.monotonic()
                     stat = np.asarray(lane["stat"])  # sync chunk k-1
+                    if _device_stats:
+                        _device_stats["status_sync_s"] += time.monotonic() - sync0
+                        _device_stats["chunk_dispatches"] += 1
                     solved, _, min_key, cursor, _, evictions, _ = (
                         int(v) for v in stat
                     )
@@ -183,6 +209,8 @@ def _device_multiplex(
                     if solved:
                         r = _classify(lane["puzzle"], reconstruct_plan(lane["s"]), dt)
                         r.solver = "device"
+                        if _device_stats:
+                            _device_stats["solved"] += 1
                         finished.append((lane, r))
                         continue
                     if min_key >= EMPTY:
@@ -238,6 +266,7 @@ def plan_puzzles_fleet(
     """
     if native_workers is None:
         native_workers = max(1, os.cpu_count() or 1)
+    _reset_device_stats()
 
     try:
         from pushworld_tpu.native import bridge
