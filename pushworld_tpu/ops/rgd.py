@@ -61,6 +61,22 @@ class RGDTables:
     DG: jax.Array  # f32 (N, H, W) distance-to-goal fields (goal rows only)
     contacts: jax.Array  # int32 (4, N, N, C, 2) rel offsets (rx, ry)
     contacts_mask: jax.Array  # bool (4, N, N, C)
+    # Agent-row (pusher = 0) contacts compacted to their own, much smaller
+    # pad: the depth-0 pushing cost (the hot path of every heuristic call)
+    # only ever gathers agent contacts, and the agent's contact lists are
+    # 4-16x shorter than the bucket-wide pairwise max on the published
+    # benchmark — padding them to the pairwise cap made the depth-0 gather
+    # volume (B x goals x C x 4) dominate the whole search iteration.
+    contacts_a: jax.Array  # int32 (4, N, Ca, 2)
+    contacts_a_mask: jax.Array  # bool (4, N, Ca)
+    # Fused depth-0 contact table: cvidx_a[a, o, p_flat, c] is the AGENT
+    # graph's compact vertex index of contact cell p + contacts_a[a, o, c]
+    # when the agent can feasibly push there (E[a, agent] holds and the
+    # contact is in bounds), else -1.  Folds the e-gather, bounds masking
+    # and vidx gather of the depth-0 pushing cost into ONE gather, leaving
+    # exactly two gathers (cvidx_a, Dflat) per (state, contact) on the
+    # hottest path of the batched search.
+    cvidx_a: jax.Array  # int32 (4, N, HW, Ca)
     goal_pos: jax.Array  # int32 (N, 2)
     goal_mask: jax.Array  # bool (N,)
     n_real: jax.Array  # int32 scalar — actual number of movables
@@ -70,15 +86,17 @@ class RGDTables:
     height: int
     width: int
     cmax: int
+    cmax_agent: int
 
 
 jax.tree_util.register_dataclass(
     RGDTables,
     data_fields=[
         "E", "Dflat", "vidx", "doff", "dstride", "DG", "contacts",
-        "contacts_mask", "goal_pos", "goal_mask", "n_real",
+        "contacts_mask", "contacts_a", "contacts_a_mask", "cvidx_a",
+        "goal_pos", "goal_mask", "n_real",
     ],
-    meta_fields=["n", "max_goals", "height", "width", "cmax"],
+    meta_fields=["n", "max_goals", "height", "width", "cmax", "cmax_agent"],
 )
 
 
@@ -131,6 +149,7 @@ def build_rgd_tables(
     max_goals: Optional[int] = None,
     max_depth: Optional[int] = None,
     dflat_cap: Optional[int] = None,
+    cmax_agent_pad: Optional[int] = None,
 ) -> RGDTables:
     """Builds all precomputed tensors (one-time per puzzle).
 
@@ -219,6 +238,47 @@ def build_rgd_tables(
                     contacts[a, q, o, :m, 1] = ys - delta
                     contacts_mask[a, q, o, :m] = True
 
+    # Agent-row contacts under their own (small) pad for the depth-0 path.
+    cmax_agent = max(1, int(counts[:, 0, :].max()))
+    if cmax_agent_pad is not None:
+        if cmax_agent_pad < cmax_agent:
+            raise ValueError(
+                f"cmax_agent_pad={cmax_agent_pad} < required {cmax_agent}"
+            )
+        cmax_agent = cmax_agent_pad
+    contacts_a = np.zeros((4, N, cmax_agent, 2), np.int32)
+    contacts_a_mask = np.zeros((4, N, cmax_agent), bool)
+    for a in range(4):
+        for o in range(N):
+            ys, xs = np.nonzero(push[a, 0, o])
+            m = len(ys)
+            if m:
+                contacts_a[a, o, :m, 0] = xs - delta
+                contacts_a[a, o, :m, 1] = ys - delta
+                contacts_a_mask[a, o, :m] = True
+
+    # Fused depth-0 contact table (see RGDTables.cvidx_a).  vidx0_e[a] is
+    # the agent's vertex index where its transition in direction a is
+    # feasible, else -1; shifting it by each contact offset turns the
+    # per-contact (E gather + bounds mask + vidx gather) into one table.
+    vidx0 = vidx[0].reshape(H, W)
+    cvidx_a = np.full((4, N, HW, cmax_agent), -1, np.int32)
+    ys_g, xs_g = np.mgrid[0:H, 0:W]
+    for a in range(4):
+        vidx0_e = np.where(E_np[a, 0], vidx0, -1)  # (H, W)
+        for o in range(N):
+            for ci in range(cmax_agent):
+                if not contacts_a_mask[a, o, ci]:
+                    continue
+                rx, ry = contacts_a[a, o, ci]
+                cy = ys_g + ry
+                cx = xs_g + rx
+                ok = (cy >= 0) & (cy < H) & (cx >= 0) & (cx < W)
+                vals = np.where(
+                    ok, vidx0_e[np.clip(cy, 0, H - 1), np.clip(cx, 0, W - 1)], -1
+                )
+                cvidx_a[a, o, :, ci] = vals.reshape(-1)
+
     return RGDTables(
         E=E,
         Dflat=Dflat,
@@ -228,6 +288,9 @@ def build_rgd_tables(
         DG=DG,
         contacts=jnp.asarray(contacts),
         contacts_mask=jnp.asarray(contacts_mask),
+        contacts_a=jnp.asarray(contacts_a),
+        contacts_a_mask=jnp.asarray(contacts_a_mask),
+        cvidx_a=jnp.asarray(cvidx_a),
         goal_pos=jnp.asarray(cp.goal_pos),
         goal_mask=jnp.asarray(cp.goal_mask),
         n_real=np.int32(puzzle.num_movables),
@@ -236,6 +299,7 @@ def build_rgd_tables(
         height=H,
         width=W,
         cmax=cmax,
+        cmax_agent=cmax_agent,
     )
 
 
@@ -273,20 +337,24 @@ def _agent_push_cost(t: RGDTables, states, o, a, p):
     p -> p + d_a.  Returns (B,) f32 (includes the +1 push action cost).
 
     o, a: static ints; p: (B, 2).
+
+    Uses the fused ``cvidx_a`` table: two gathers per (state, contact).
+    The agent graph is symmetric (adjacent valid placements), so
+    dist(A -> c) is read as Dflat[row A, col c]; the agent-at-contact case
+    falls out of the zero diagonal (the agent's position is always inside
+    its own vertex set — the initial cell is included explicitly and search
+    only moves along feasible transitions).
     """
-    A = states[:, 0, :]  # (B, 2) agent positions
-    rel = t.contacts[a, 0, o]  # (C, 2)
-    mask = t.contacts_mask[a, 0, o]  # (C,)
-    c = p[:, None, :] + rel[None, :, :]  # (B, C, 2)
-    feasible = _gather_E(t, a, 0, c) & mask[None, :]  # (B, C)
-    c_flat = jnp.clip(_flat(t, c), 0, t.width * t.height - 1)
-    A_flat = _flat(t, A)  # (B,)
-    dist = _gather_D(t, 0, c_flat, A_flat[:, None])  # (B, C) dist(c -> A)
-    # Agent graph edges are symmetric (adjacent valid placements), so
-    # dist(A -> c) == dist(c -> A); gathering by row c vectorizes better.
-    same = jnp.all(c == A[:, None, :], axis=-1)
-    v = jnp.where(same, 0.0, dist)
-    v = jnp.where(feasible, v, INF)
+    A_flat = _flat(t, states[:, 0, :])  # (B,)
+    iA = t.vidx[0, A_flat]  # (B,)
+    p_flat = jnp.clip(_flat(t, p), 0, t.width * t.height - 1)
+    iv = t.cvidx_a[a, o, p_flat]  # (B, Ca)
+    ok = (iv >= 0) & (iA >= 0)[:, None]
+    idx = t.doff[0] + iA[:, None] * t.dstride[0] + jnp.maximum(iv, 0)
+    d = t.Dflat[jnp.where(ok, idx, 0)]
+    v = jnp.where(
+        ok & (d != np.uint16(65535)), d.astype(jnp.float32), np.float32(INF)
+    )
     return 1.0 + jnp.min(v, axis=1)
 
 
@@ -357,23 +425,27 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
     included (callers mask with E)."""
     B, N = states.shape[0], t.n
     HW = t.width * t.height
-    A = states[:, 0, :]
-    A_flat = _flat(t, A)
+    A_flat = _flat(t, states[:, 0, :])  # (B,)
+    iA = t.vidx[0, A_flat]  # (B,)
 
-    rel = t.contacts[:, 0, :, :, :]  # (4, N, C, 2) agent contacts per pushee
-    mask = t.contacts_mask[:, 0, :, :]  # (4, N, C)
-    Q = states  # (B, N, 2)
-    c = Q[:, None, :, None, :] + rel[None, :, :, :, :]  # (B, 4, N, C, 2)
-    a_idx = np.arange(4)[None, :, None, None]
-    feasible = _gather_E(t, a_idx, 0, c) & mask[None]  # (B, 4, N, C)
-    c_flat = jnp.clip(_flat(t, c), 0, HW - 1)
-    # Agent graph edges are symmetric, so dist(A -> c) == dist(c -> A).
-    dist = _gather_D(t, 0, c_flat, A_flat[:, None, None, None])
-    same = jnp.all(c == A[:, None, None, None, :], axis=-1)
-    v = jnp.where(same, 0.0, dist)
-    v = jnp.where(feasible, v, INF)
-    out = 1.0 + jnp.min(v, axis=3)  # (B, 4, N)
-    return jnp.transpose(out, (0, 2, 1))  # (B, N, 4)
+    Q_flat = jnp.clip(_flat(t, states), 0, HW - 1)  # (B, N)
+    # Fused table: vertex indices of every (a, pushee, contact) at each
+    # pushee position; -1 where pushing is infeasible (see cvidx_a).
+    Ca = t.cmax_agent
+    iv = t.cvidx_a[
+        np.arange(4)[:, None, None, None],
+        np.arange(N)[None, :, None, None],
+        Q_flat.T[None, :, :, None],
+        np.arange(Ca)[None, None, None, :],
+    ]  # (4, N, B, Ca)
+    ok = (iv >= 0) & (iA >= 0)[None, None, :, None]
+    idx = t.doff[0] + iA[None, None, :, None] * t.dstride[0] + jnp.maximum(iv, 0)
+    d = t.Dflat[jnp.where(ok, idx, 0)]
+    v = jnp.where(
+        ok & (d != np.uint16(65535)), d.astype(jnp.float32), np.float32(INF)
+    )
+    out = 1.0 + jnp.min(v, axis=3)  # (4, N, B)
+    return jnp.transpose(out, (2, 1, 0))  # (B, N, 4)
 
 
 @partial(jax.jit, static_argnames=("max_depth",))

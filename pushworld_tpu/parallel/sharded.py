@@ -111,6 +111,13 @@ def solve_group(
         int(np.asarray(cp.push).reshape(4, N, N, -1).sum(-1).max()) for cp in cps
     )
     cmax = _pad(_CMAX_LADDER, max(1, cmax_req))
+    from pushworld_tpu.search.planner import _CMAX_AGENT_LADDER
+
+    cagent_req = max(
+        int(np.asarray(cp.push).reshape(4, N, N, -1).sum(-1)[:, 0, :].max())
+        for cp in cps
+    )
+    cagent = _pad(_CMAX_AGENT_LADDER, max(1, cagent_req))
     # Fixed-ladder goal pad: keeps the compiled shape independent of the
     # dynamic group composition (shared with the per-puzzle planner buckets).
     from pushworld_tpu.search.planner import _GOALS_LADDER
@@ -126,7 +133,7 @@ def solve_group(
     tables = [
         build_rgd_tables(
             p, cp, cmax_pad=cmax, max_goals=goals, max_depth=max_depth,
-            dflat_cap=dflat,
+            dflat_cap=dflat, cmax_agent_pad=cagent,
         )
         for p, cp in zip(padded, cps)
     ]

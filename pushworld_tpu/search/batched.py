@@ -334,12 +334,13 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         B, N = cfg.expand, cp.n
         F = s.frontier_h.shape[0]
 
-        # 1. select the B best frontier entries.
-        neg, sel = jax.lax.top_k(-s.frontier_h, B)
-        sel_valid = -neg < EMPTY  # occupied slots only
-        parents = s.frontier_states[sel]  # (B, N, 2)
-        parent_hist = s.frontier_hist[sel]  # (B,)
-        frontier_h = s.frontier_h.at[sel].set(np.int32(EMPTY))
+        # 1. select the B best frontier entries.  INVARIANT: the frontier
+        # arrays are kept sorted ascending by key (EMPTY slots at the end,
+        # established by _init_state_jit and restored by the merge below),
+        # so selection is a slice — no top_k needed.
+        sel_valid = s.frontier_h[:B] < EMPTY  # occupied slots only
+        parents = s.frontier_states[:B]  # (B, N, 2)
+        parent_hist = s.frontier_hist[:B]  # (B,)
 
         # 2. expand all 4 actions.
         actions = jnp.asarray(np.repeat(np.arange(4, dtype=np.int32), B))
@@ -385,26 +386,66 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         h = _priority(nov, rgd, hist_idx, cfg.use_novelty)
         h = jnp.where(is_new, h, np.int32(EMPTY))
 
-        # 7. merge into the frontier (keep the F best); states evicted by
-        # the capacity bound are DELETED from the visited set so they can be
-        # re-generated later (the reference frontier is unbounded; without
-        # this, an evicted state on the only path to the goal would be lost
-        # forever).
-        all_h = jnp.concatenate([frontier_h, h])
-        all_states = jnp.concatenate([s.frontier_states, children])
-        all_hist = jnp.concatenate([s.frontier_hist, hist_idx])
-        all_lo = jnp.concatenate([s.frontier_lo, lo])
-        all_hi = jnp.concatenate([s.frontier_hi, hi])
-        neg_top, keep = jax.lax.top_k(-all_h, F)
-        kept_mask = jnp.asarray(np.zeros((all_h.shape[0],), bool)).at[keep].set(True)
-        evicted = (all_h < EMPTY) & ~kept_mask
-        visited = probe_delete(visited, all_lo, all_hi, evicted)
+        # 7. merge into the frontier (keep the F best).  The selected B
+        # entries were consumed, so the survivors are the (already sorted)
+        # slice [B:]; the 4B children are sorted once and stable-merged via
+        # two searchsorted rank computations — O((F + B) log B) instead of a
+        # full top_k over F + 4B keys.  States evicted by the capacity bound
+        # are DELETED from the visited set so they can be re-generated later
+        # (the reference frontier is unbounded; without this, an evicted
+        # state on the only path to the goal would be lost forever).
+        R = F - B  # surviving frontier entries
+        rest_h = s.frontier_h[B:]
+        ord_ = jnp.argsort(h)
+        ch_h = h[ord_]
+        ch_states = children[ord_]
+        ch_hist = hist_idx[ord_]
+        ch_lo = lo[ord_]
+        ch_hi = hi[ord_]
+        #
+
+        # Stable-merge ranks: equal keys place survivors before children.
+        pos_rest = jnp.searchsorted(ch_h, rest_h, side="left") + jnp.arange(
+            R, dtype=jnp.int32
+        )
+        pos_ch = jnp.searchsorted(rest_h, ch_h, side="right") + jnp.arange(
+            4 * B, dtype=jnp.int32
+        )
+        new_h = jnp.full((F,), EMPTY, jnp.int32)
+        new_h = new_h.at[pos_rest].set(rest_h, mode="drop")
+        new_h = new_h.at[pos_ch].set(ch_h, mode="drop")
+        new_states = jnp.zeros((F, N, 2), jnp.int32)
+        new_states = new_states.at[pos_rest].set(s.frontier_states[B:], mode="drop")
+        new_states = new_states.at[pos_ch].set(ch_states, mode="drop")
+        new_hist = jnp.zeros((F,), jnp.int32)
+        new_hist = new_hist.at[pos_rest].set(s.frontier_hist[B:], mode="drop")
+        new_hist = new_hist.at[pos_ch].set(ch_hist, mode="drop")
+        new_lo = jnp.zeros((F,), jnp.uint32)
+        new_lo = new_lo.at[pos_rest].set(s.frontier_lo[B:], mode="drop")
+        new_lo = new_lo.at[pos_ch].set(ch_lo, mode="drop")
+        new_hi = jnp.zeros((F,), jnp.uint32)
+        new_hi = new_hi.at[pos_rest].set(s.frontier_hi[B:], mode="drop")
+        new_hi = new_hi.at[pos_ch].set(ch_hi, mode="drop")
+
+        # Evictions: merged positions >= F.  At most 3B survivors can be
+        # pushed past F (merged length is F + 3B), and they are the worst
+        # (last) survivors, so only the tail needs un-visiting.
+        tail = max(0, R - 3 * B)
+        ev_rest = (pos_rest[tail:] >= F) & (rest_h[tail:] < EMPTY)
+        ev_ch = (pos_ch >= F) & (ch_h < EMPTY)
+        visited = probe_delete(
+            visited, s.frontier_lo[B + tail :], s.frontier_hi[B + tail :], ev_rest
+        )
+        visited = probe_delete(visited, ch_lo, ch_hi, ev_ch)
+        n_evicted = jnp.sum(ev_rest.astype(jnp.int32)) + jnp.sum(
+            ev_ch.astype(jnp.int32)
+        )
         return SearchState(
-            frontier_states=all_states[keep],
-            frontier_h=-neg_top,
-            frontier_hist=all_hist[keep],
-            frontier_lo=all_lo[keep],
-            frontier_hi=all_hi[keep],
+            frontier_states=new_states,
+            frontier_h=new_h,
+            frontier_hist=new_hist,
+            frontier_lo=new_lo,
+            frontier_hi=new_hi,
             hist_parent=hist_parent,
             hist_action=hist_action,
             hist_cursor=hist_cursor,
@@ -414,7 +455,7 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
             solved_hist=solved_hist,
             iterations=s.iterations + 1,
             expansions=s.expansions + jnp.sum(sel_valid.astype(jnp.int32)),
-            evictions=s.evictions + jnp.sum(evicted.astype(jnp.int32)),
+            evictions=s.evictions + n_evicted,
         )
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))

@@ -85,6 +85,7 @@ def _device_multiplex(
     )
     from pushworld_tpu.search.planner import (
         CHUNK,
+        _CMAX_AGENT_LADDER,
         _CMAX_LADDER,
         _DFLAT_LADDER,
         _GOALS_LADDER,
@@ -112,9 +113,11 @@ def _device_multiplex(
         cp = compile_puzzle(p, prof[0], prof[1], prof[1], prof[2])
         depth = required_depth(p)
         dflat = _pad(_DFLAT_LADDER, dflat_required(p, cp, depth))
-        groups.setdefault((prof, depth, dflat), []).append((name, p, cp))
+        counts = np.asarray(cp.push).reshape(4, prof[0], prof[0], -1).sum(-1)
+        cagent = _pad(_CMAX_AGENT_LADDER, max(1, int(counts[:, 0, :].max())))
+        groups.setdefault((prof, depth, dflat, cagent), []).append((name, p, cp))
 
-    for (prof, depth, dflat), sub in groups.items():
+    for (prof, depth, dflat, cagent), sub in groups.items():
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
         # Per-lane footprint: packed distances (uint16, ladder cap), the
@@ -147,6 +150,7 @@ def _device_multiplex(
                     max_goals=_pad(_GOALS_LADDER, p.num_goals),
                     max_depth=depth,
                     dflat_cap=dflat,
+                    cmax_agent_pad=cagent,
                 )
                 if _device_stats:
                     _device_stats["table_build_s"] += time.monotonic() - tb0

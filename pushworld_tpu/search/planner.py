@@ -53,6 +53,10 @@ _PROFILES = [
     (20, 56, 28, 256),  # covers everything (bounds from SURVEY.md §6)
 ]
 _CMAX_LADDER = [p[3] for p in _PROFILES]
+# Agent-row contact-list pads (the depth-0 RGD hot path gathers only agent
+# contacts; the benchmark's agent rows max out at 38 while pairwise rows
+# reach 59 — separating the pads cuts the dominant gather volume 4-16x).
+_CMAX_AGENT_LADDER = [8, 16, 40]
 _GOALS_LADDER = [1, 2, 4, 8, 16]
 # Packed compact-distance buffer capacities (entries).  The published
 # benchmark's worst puzzle needs ~30M entries (60 MB uint16); the typical
@@ -310,14 +314,17 @@ def plan_puzzles(
 
         from pushworld_tpu.ops.rgd import dflat_required
 
+        cagent_req = 1
         for name, puzzle, _ in group:
             cp = compile_puzzle(puzzle, n_pad, h_pad, w_pad, delta)
             cps[name] = cp
             counts = np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1)
             cmax_req = max(cmax_req, int(counts.max()))
+            cagent_req = max(cagent_req, int(counts[:, 0, :].max()))
             goals_req = max(goals_req, puzzle.num_goals)
             dflat_req = max(dflat_req, dflat_required(puzzle, cp, depth))
         cmax = _pad(_CMAX_LADDER, cmax_req)
+        cagent = _pad(_CMAX_AGENT_LADDER, cagent_req)
         dflat = _pad(_DFLAT_LADDER, dflat_req)
         # Goal-count pad from a fixed ladder: bucket-max padding would make
         # the compiled shape depend on the dynamic group composition,
@@ -342,6 +349,7 @@ def plan_puzzles(
                 warm_tables = build_rgd_tables(
                     first_puzzle, cps[first_name], cmax_pad=cmax,
                     max_goals=goals_req, max_depth=depth, dflat_cap=dflat,
+                    cmax_agent_pad=cagent,
                 )
                 warm_planner = BatchedPlanner(
                     first_puzzle,
@@ -383,7 +391,7 @@ def plan_puzzles(
 
             tables = build_rgd_tables(
                 g_puzzle, cps[g_name], cmax_pad=cmax, max_goals=goals_req,
-                max_depth=depth, dflat_cap=dflat,
+                max_depth=depth, dflat_cap=dflat, cmax_agent_pad=cagent,
             )
             # Issue the H2D transfers here so they overlap earlier solves
             # (the tables are multi-MB; the tunnel pays ~1.4 s per puzzle

@@ -41,9 +41,14 @@ def test_create_transformed_puzzles(tmp_path, puzzles_dir):
     out = tmp_path / "transformed"
     create_transformed_puzzles(puzzles_dir, str(out))
     files = sorted(str(p) for p in out.rglob("*.pwp"))
-    # 8 transforms per fixture, subdirectory tree mirrored.
-    n_src = len([p for p in os.listdir(puzzles_dir) if p.endswith(".pwp")])
-    assert len([f for f in files if "/heur/" not in f]) == 8 * n_src
+    # 8 transforms per fixture, subdirectory tree mirrored (recursively).
+    n_src = sum(
+        1
+        for _root, _dirs, names in os.walk(puzzles_dir)
+        for n in names
+        if n.endswith(".pwp")
+    )
+    assert len(files) == 8 * n_src
     assert any("simple_r90_flipped.pwp" in f for f in files)
     for f in files[:8]:
         Puzzle.from_file(f)  # parses
