@@ -463,6 +463,14 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
 
     Returns:
         (B,) float32; unreachable goals yield values >= 1e9.
+
+    REACHABLE-STATE REQUIREMENT: states must be reachable from the puzzle's
+    initial state (the states a search generates).  The compact distance
+    tables only cover each object's movement-graph vertex set plus its
+    initial cell (see :func:`pushworld_tpu.ops.graphs.host_vertex_mask`);
+    an agent position outside that set gathers INF here where the host
+    oracle would still return a finite contact-adjacent cost.  Synthetic
+    (non-reachable) states must use the host oracle instead.
     """
     B = states.shape[0]
     total = jnp.asarray(np.zeros((B,), np.float32))

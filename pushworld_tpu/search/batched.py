@@ -237,6 +237,13 @@ class BatchedPlanner:
         max_depth: int = 1,
         use_novelty: bool = True,
     ):
+        if frontier_capacity < expand:
+            # The sorted-merge in _iterate slices R = F - B survivors and
+            # bounds the eviction tail by 3B; both assume F >= B.
+            raise ValueError(
+                f"frontier_capacity ({frontier_capacity}) must be >= "
+                f"expand ({expand})"
+            )
         self.puzzle = puzzle
         self.cp = cp if cp is not None else compile_puzzle(puzzle)
         self.tables = (

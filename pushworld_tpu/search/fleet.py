@@ -115,20 +115,29 @@ def _device_multiplex(
         dflat = _pad(_DFLAT_LADDER, dflat_required(p, cp, depth))
         counts = np.asarray(cp.push).reshape(4, prof[0], prof[0], -1).sum(-1)
         cagent = _pad(_CMAX_AGENT_LADDER, max(1, int(counts[:, 0, :].max())))
-        groups.setdefault((prof, depth, dflat, cagent), []).append((name, p, cp))
+        cmax = _pad(_CMAX_LADDER, max(1, int(counts.max())))
+        goals = _pad(_GOALS_LADDER, p.num_goals)
+        groups.setdefault((prof, depth, dflat, cagent, cmax, goals), []).append(
+            (name, p, cp)
+        )
 
-    for (prof, depth, dflat, cagent), sub in groups.items():
+    for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
-        # Per-lane footprint: packed distances (uint16, ladder cap), the
-        # vidx maps, plus the search-state buffers (history, frontier,
+        # Per-lane footprint: EVERY RGDTables tensor (packed distances,
+        # vidx/cvidx maps, contact lists — cvidx_a is the largest table at
+        # big profiles) plus the search-state buffers (history, frontier,
         # visited, novelty) — all resident per lane while a wave runs.
         hw = dim * dim
         bytes_per_lane = (
-            dflat * 2
+            dflat * 2  # Dflat (uint16)
             + rows * hw * 4  # vidx
             + 4 * n_pad * hw  # E (bool)
             + n_pad * hw * 4  # DG
+            + 4 * n_pad * hw * cagent * 4  # cvidx_a (int32)
+            + 4 * n_pad * n_pad * cmax * 2 * 4  # contacts (int32)
+            + 4 * n_pad * n_pad * cmax  # contacts_mask (bool)
+            + 4 * n_pad * cagent * (2 * 4 + 1)  # contacts_a + mask
             + 2 * 4 * history_capacity  # hist_parent + hist_action
             + frontier_capacity * (n_pad * 2 + 4) * 4  # frontier arrays
             + (1 << visited_bits) * 8  # visited hash set
@@ -139,15 +148,12 @@ def _device_multiplex(
         for w0 in range(0, len(sub), wave):
             lanes = []
             for name, p, cp in sub[w0 : w0 + wave]:
-                cmax_req = int(
-                    np.asarray(cp.push).reshape(4, n_pad, n_pad, -1).sum(-1).max()
-                )
                 tb0 = time.monotonic()
                 tables = build_rgd_tables(
                     p,
                     cp,
-                    cmax_pad=_pad(_CMAX_LADDER, max(1, cmax_req)),
-                    max_goals=_pad(_GOALS_LADDER, p.num_goals),
+                    cmax_pad=cmax,
+                    max_goals=goals,
                     max_depth=depth,
                     dflat_cap=dflat,
                     cmax_agent_pad=cagent,

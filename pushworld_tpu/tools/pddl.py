@@ -13,6 +13,14 @@ python3/src/pushworld/pddl.py:20-443):
 Deviation: the reference accidentally names the domain/problem after the
 last movable object (pddl.py:256 shadows the ``name`` argument); here the
 puzzle name is used (the names only need to agree between the two files).
+
+Template provenance: the PDDL domain/problem templates below follow the
+reference's template text (reference: pddl.py:77-226) nearly verbatim by
+design — the PDDL encoding (predicate names, action structure, typing) is
+the interchange format that downstream planners (Fast Downward, BFWS/libff)
+consume, and the reference's encoding choices were tuned for those
+planners' grounders, so diverging would change what is being benchmarked.
+The generating code around the templates is an independent implementation.
 """
 
 import itertools
