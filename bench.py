@@ -27,6 +27,12 @@ Environment overrides:
                           (default "level1:12,level2:18,level3:18,level4:6")
   PUSHWORLD_BENCH_BUDGET  per-puzzle seconds (default 20)
   PUSHWORLD_BENCH_BASELINE  "ref" | "native" | "skip" (default ref)
+  PUSHWORLD_BENCH_PROTOCOL  "full60" = the protocol-grade run in one line:
+                          all 223 benchmark puzzles, 60 s per-puzzle budget,
+                          raced against the reference planner (expect ~2.5 h
+                          wall: ours + the sequential reference baseline)
+  PUSHWORLD_BENCH_ENV     "0" disables the vectorized-env throughput
+                          measurement (steps/s/chip, reported in detail)
   PW_PROFILE_DIR          when set, capture a jax.profiler trace of the
                           fleet run into this directory
 """
@@ -142,10 +148,17 @@ def run_native_baseline(named, budget: float):
 
 
 def main():
-    spec = os.environ.get(
-        "PUSHWORLD_BENCH_SET", "level1:12,level2:18,level3:18,level4:6"
-    )
-    budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", "20"))
+    protocol = os.environ.get("PUSHWORLD_BENCH_PROTOCOL")
+    if protocol == "full60":
+        # The reference-protocol headline (STATUS.md): full benchmark,
+        # 60 s/puzzle, raced against the actual reference planner.
+        default_set = "level1,level2,level3,level4"
+        default_budget = "60"
+    else:
+        default_set = "level1:12,level2:18,level3:18,level4:6"
+        default_budget = "20"
+    spec = os.environ.get("PUSHWORLD_BENCH_SET", default_set)
+    budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", default_budget))
     baseline_kind = os.environ.get("PUSHWORLD_BENCH_BASELINE", "ref")
     profile_dir = os.environ.get("PW_PROFILE_DIR")
 
@@ -207,6 +220,23 @@ def main():
     }
     if profile_dir:
         detail["profile_dir"] = profile_dir
+
+    # --- vectorized-env throughput (steps/s/chip; SURVEY §2e batched
+    # rollouts).  Measured on the largest-grid puzzle of the set so the
+    # roofline estimate is meaningful.
+    if os.environ.get("PUSHWORLD_BENCH_ENV", "1") != "0":
+        try:
+            from pushworld_tpu.envs.throughput import measure_env_throughput
+
+            env_puzzle = max(named, key=lambda np_: np_[1].height * np_[1].width)
+            detail["env_throughput"] = dict(
+                measure_env_throughput(
+                    env_puzzle[1], batch_size=4096, horizon=128, reps=3
+                ),
+                puzzle=env_puzzle[0],
+            )
+        except Exception as e:  # pragma: no cover - measurement is best-effort
+            detail["env_throughput"] = {"error": f"{type(e).__name__}: {e}"}
 
     if baseline_kind == "ref" and build_reference_planner():
         base_solved, base_wall = run_reference_baseline(

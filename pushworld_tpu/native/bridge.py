@@ -139,21 +139,35 @@ def solve_native(
     raise RuntimeError(f"native planner error {rc}")
 
 
-# Diversified schedule for the staged solver: (mode, seed, budget fraction).
-# Greedy best-first outcomes are highly ordering-sensitive — measured on the
-# benchmark: level2 "Canonical Repeated Obstacle" falls to RGD-only in ~13 s
-# while N+RGD thrashes for 180+ s; level2 "Archery" is the exact reverse;
-# level2 "Boulders" defeats N+RGD seeds 0-1 and RGD entirely for 40+ s but
-# falls to N+RGD seed 2 in 0.2 s — so a budget split across diverse
-# (mode, action-order stream) configurations solves strictly more instances
-# than one configuration given the whole budget.  N+RGD restarts are cheap
-# (instances it cracks, it cracks fast), so two extra seeds come early; the
-# RGD stage gets the largest slice (when it wins it needs sustained time).
+# Diversified schedule for the staged solver:
+# (mode, queue discipline, seed, budget fraction).  Greedy best-first
+# outcomes are highly ordering-sensitive, so a budget split across diverse
+# (mode, queue, action-order stream) configurations solves strictly more
+# instances than one configuration given the whole budget.
+#
+# The slices are fit to measured data (scripts_dev/stage_sweep_10s_misses
+# .jsonl = 16-config sweep over the round-2 misses;
+# scripts_dev/full_bench_r2_60s.jsonl = per-stage attribution of the 168
+# round-2 solves under the previous schedule), at the reference protocol's
+# 60 s budget:
+# - N+RGD lifo seed0 (the workhorse, 151/168 round-2 solves): slowest win
+#   10.3 s ("Unhook To Go Around") => keep 0.18 (10.8 s).
+# - N+RGD lifo seed3: cracks "Nutcracker" in 0.95 s => 0.03 (1.8 s).
+# - N+RGD fifo seed3: cracks "Diagonal Stack"/"Double Key"/"Unavoidable
+#   Corridor" in <= 6.4 s => 0.11 (6.6 s).
+# - N+RGD lifo seed2: previous wins need <= 2.1 s, "Crow Pushing" needs
+#   6.3 s => 0.11 (6.6 s, up from 4.2).
+# - RGD: 11 round-2 wins; the slowest ("Precision Tooling") needed 20.1 s
+#   of RGD time => 0.36 (21.6 s).
+# - N+RGD lifo seed1 (last; absorbs all remaining wall): its 3 round-2
+#   wins needed <= 2.7 s; remainder is ~12 s.
 STAGES_DEFAULT = (
-    ("N+RGD", 0, 0.18),
-    ("N+RGD", 2, 0.07),
-    ("RGD", 0, 0.45),
-    ("N+RGD", 1, 0.30),
+    ("N+RGD", "lifo", 0, 0.18),
+    ("N+RGD", "lifo", 3, 0.03),
+    ("N+RGD", "fifo", 3, 0.11),
+    ("N+RGD", "lifo", 2, 0.11),
+    ("RGD", "lifo", 0, 0.36),
+    ("N+RGD", "lifo", 1, 0.21),
 )
 
 
@@ -188,7 +202,7 @@ def solve_native_staged(
     deadline = _time.monotonic() + time_limit
     attempted = 0
     memory_hits = 0
-    for i, (st_mode, st_seed, frac) in enumerate(stages):
+    for i, (st_mode, st_queue, st_seed, frac) in enumerate(stages):
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
             break
@@ -198,7 +212,7 @@ def solve_native_staged(
         try:
             return solve_native(
                 puzzle, compiled=compiled, mode=st_mode, time_limit=budget,
-                mem_limit_gb=mem_limit_gb, seed=st_seed,
+                mem_limit_gb=mem_limit_gb, seed=st_seed, queue=st_queue,
             )
         except TimeoutError:
             continue

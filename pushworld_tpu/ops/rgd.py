@@ -449,6 +449,23 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
 
 
 @partial(jax.jit, static_argnames=("max_depth",))
+def rgd_heuristic_with_flags(
+    t: RGDTables, states: jax.Array, max_depth: int = 1
+) -> Tuple[jax.Array, jax.Array]:
+    """Like :func:`rgd_heuristic` but also returns a per-state bool flag:
+    True when some goal object's cost is INF at ``max_depth`` although its
+    graph distance to the goal is finite — i.e. the ONLY reason the value
+    is infinite is that no pushing chain exists within the compiled depth,
+    so evaluating at a greater depth could yield a finite value.  States
+    whose goals are graph-unreachable (dead ends) do NOT set the flag (no
+    depth fixes those).  Drives the planner's depth-escalation policy
+    (reference counterpart: the unbounded ``fewest_tools`` iteration,
+    recursive_graph_distance.cc:101-112).
+    """
+    return _rgd_impl(t, states, max_depth)
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
 def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Array:
     """Fewest-tools RGD estimate for a batch of states.
 
@@ -472,8 +489,16 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
     oracle would still return a finite contact-adjacent cost.  Synthetic
     (non-reachable) states must use the host oracle instead.
     """
+    return _rgd_impl(t, states, max_depth)[0]
+
+
+def _rgd_impl(
+    t: RGDTables, states: jax.Array, max_depth: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared trace: returns (total cost, needs-deeper flag) per state."""
     B = states.shape[0]
     total = jnp.asarray(np.zeros((B,), np.float32))
+    needs_deeper = jnp.asarray(np.zeros((B,), bool))
     # Memoized per-(skip set, depth) pushing-cost tables, shared across
     # goals/directions within one trace (the reference memoizes the same
     # quantity per state in its PushingCostCache,
@@ -486,6 +511,7 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
         p = states[:, o, :]  # (B, 2)
         goal = t.goal_pos[o]
         at_goal = jnp.all(p == goal[None, :], axis=-1)
+        finite_dg = jnp.asarray(np.zeros((states.shape[0],), bool))
 
         per_depth: List[jax.Array] = []
         for depth in range(max_depth + 1):
@@ -498,6 +524,12 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
                     axis=-1,
                 )
                 goal_dist = t.DG[o, effc[:, 1], effc[:, 0]]
+                if depth == 0:
+                    # Some feasible first transition leads toward the goal:
+                    # the cost can only be INF for pushing-chain reasons.
+                    finite_dg = finite_dg | (
+                        e_ok & (goal_dist < FINITE_THRESHOLD)
+                    )
                 if depth == 0:
                     pc = _agent_push_cost(t, states, o, a, p)
                 else:
@@ -521,11 +553,21 @@ def rgd_heuristic(t: RGDTables, states: jax.Array, max_depth: int = 1) -> jax.Ar
             d_cost = jnp.where(d <= t.n_real - 2, d_cost, INF)
             cost = jnp.where(cost < FINITE_THRESHOLD, cost, d_cost)
         cost = jnp.where(at_goal, 0.0, cost)
+        # Deeper pushing could fix this goal's INF iff the goal is
+        # graph-reachable and deeper chains exist (reference iterates
+        # depths 0..n-2, recursive_graph_distance.cc:101-112).
+        needs_deeper = needs_deeper | (
+            t.goal_mask[o]
+            & ~at_goal
+            & finite_dg
+            & (cost >= FINITE_THRESHOLD)
+            & (np.int32(max_depth) < t.n_real - 2)
+        )
         # Objects without a goal contribute nothing.
         cost = jnp.where(t.goal_mask[o], jnp.minimum(cost, INF), 0.0)
         total = total + cost
 
-    return total
+    return total, needs_deeper
 
 
 def _all_dirs_cost(

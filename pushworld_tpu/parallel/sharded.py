@@ -179,7 +179,7 @@ def solve_group(
     deadline = None if time_limit is None else t0 + time_limit
     while True:
         states_s = _run_chunk_group(cps_s, tables_s, cfg, states_s, chunk)
-        # One packed (G, 7) readback per chunk: each separate scalar/array
+        # One packed (G, 8) readback per chunk: each separate scalar/array
         # readback costs a ~25 ms tunnel round-trip on the axon platform.
         stat = np.asarray(status_group(states_s))
         solved = stat[:, 0].astype(bool)

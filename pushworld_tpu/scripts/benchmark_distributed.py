@@ -23,9 +23,21 @@ def main(argv=None) -> int:
     ap.add_argument("--time-limit", type=float, default=60.0)
     ap.add_argument("--no-fleet", action="store_true",
                     help="per-puzzle planner instead of the fleet executor")
+    ap.add_argument("--native-workers", type=int, default=None,
+                    help="host planner threads per process (default: CPU "
+                         "count; pin to 1 for scaling-efficiency runs)")
     ap.add_argument("--out", default=None,
                     help="write merged results as JSON to this path")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) before "
+                         "distributed init — some TPU plugins ignore the "
+                         "JAX_PLATFORMS env var")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from pushworld_tpu.core.puzzle import Puzzle
     from pushworld_tpu.parallel.distributed import (
@@ -38,15 +50,24 @@ def main(argv=None) -> int:
     paths = get_puzzle_file_paths(args.puzzles_dir)
     named = [(n, Puzzle.from_file(paths[n])) for n in sorted(paths)]
 
+    kwargs = {}
+    if args.native_workers is not None:
+        kwargs["native_workers"] = args.native_workers
+
+    import time
+
+    t0 = time.monotonic()
     results = plan_puzzles_distributed(
         named, mode=args.mode, time_limit=args.time_limit,
-        use_fleet=not args.no_fleet,
+        use_fleet=not args.no_fleet, **kwargs,
     )
+    wall = time.monotonic() - t0
     doc = {
         "process_id": pid,
         "n_processes": nproc,
         "solved": sum(1 for r in results.values() if r.failure_reason is None),
         "count": len(results),
+        "wall_s": round(wall, 3),
         "results": {
             n: {
                 "plan": r.plan,
@@ -60,7 +81,16 @@ def main(argv=None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(doc, f)
-    print(json.dumps({k: doc[k] for k in ("process_id", "n_processes", "solved", "count")}))
+    print(
+        json.dumps(
+            {
+                k: doc[k]
+                for k in (
+                    "process_id", "n_processes", "solved", "count", "wall_s"
+                )
+            }
+        )
+    )
     return 0
 
 

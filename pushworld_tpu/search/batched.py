@@ -43,7 +43,13 @@ from pushworld_tpu.ops.hashset import (
     probe_delete,
 )
 from pushworld_tpu.ops.novelty import NoveltyTables, init_novelty, novelty_score_and_update
-from pushworld_tpu.ops.rgd import FINITE_THRESHOLD, RGDTables, build_rgd_tables, rgd_heuristic
+from pushworld_tpu.ops.rgd import (
+    FINITE_THRESHOLD,
+    RGDTables,
+    build_rgd_tables,
+    rgd_heuristic,
+    rgd_heuristic_with_flags,
+)
 from pushworld_tpu.ops.step import is_goal_state, step
 
 # Frontier priorities are int32 keys: novelty tier (2 bits) | clamped RGD
@@ -54,6 +60,10 @@ from pushworld_tpu.ops.step import is_goal_state, step
 # batched expansion otherwise loses (breadth-flooding plateaus).
 EMPTY = 0x7FFFFFFF  # int32 sentinel for a free frontier slot
 NOVELTY_WEIGHT = 1e6  # kept for API parity in docs; priorities use the int key
+
+
+class _EscalateDepth(Exception):
+    """Internal: the search should restart at a deeper RGD pushing depth."""
 
 
 def _priority(nov, rgd, hist_idx, use_novelty):
@@ -95,6 +105,10 @@ class SearchState:
     iterations: jax.Array  # int32 scalar
     expansions: jax.Array  # int32 scalar
     evictions: jax.Array  # int32 scalar — states dropped by the capacity bound
+    # Count of scored states whose RGD was INF at the compiled depth although
+    # the goal was graph-reachable — deeper pushing could score them (drives
+    # the host-side depth escalation; see BatchedPlanner.solve).
+    needs_deeper: jax.Array  # int32 scalar
 
 
 jax.tree_util.register_dataclass(
@@ -115,6 +129,7 @@ jax.tree_util.register_dataclass(
         "iterations",
         "expansions",
         "evictions",
+        "needs_deeper",
     ],
     meta_fields=[],
 )
@@ -170,6 +185,7 @@ def _init_state_jit(
         iterations=jnp.int32(0),
         expansions=jnp.int32(0),
         evictions=jnp.int32(0),
+        needs_deeper=jnp.int32(0),
     )
 
 
@@ -196,7 +212,7 @@ def search_status(s: "SearchState") -> jax.Array:
     each distinct program costs seconds).
 
     Layout: [solved, solved_hist, min_frontier_key, hist_cursor,
-             expansions, evictions, iterations].
+             expansions, evictions, iterations, needs_deeper].
     """
     return jnp.stack(
         [
@@ -207,6 +223,7 @@ def search_status(s: "SearchState") -> jax.Array:
             s.expansions,
             s.evictions,
             s.iterations,
+            s.needs_deeper,
         ]
     )
 
@@ -287,15 +304,59 @@ class BatchedPlanner:
 
     # ----------------------------------------------------------------- solve
 
+    # Depth escalation is capped to bound recompiles (matches the
+    # required_depth cap; deeper instances exist only outside the
+    # published benchmark).
+    MAX_ESCALATED_DEPTH = 3
+
     def solve(
         self,
         time_limit: Optional[float] = None,
         max_expansions: Optional[int] = None,
         chunk: int = 128,
+        escalate_depth: bool = True,
     ) -> Optional[List[int]]:
         """Searches for a plan.  Returns the action list, None if the search
         space is exhausted (no solution), or raises TimeoutError on budget
         exhaustion.
+
+        DEPTH ESCALATION: the compiled RGD depth is chosen from the initial
+        state (:func:`required_depth`), but a searched state can need a
+        deeper pushing chain (e.g. a goal object crossing an agent-wall
+        region only a tool can reach).  Such states score INF and are
+        ordered last — the search stays complete — but when the BEST
+        frontier entry is INF-scored (the heuristic has no guidance left)
+        and INF states flagged as depth-limited exist, the search restarts
+        at depth+1 (reference counterpart: the unbounded ``fewest_tools``
+        iteration per state, recursive_graph_distance.cc:101-112).
+        """
+        deadline = None if time_limit is None else time.monotonic() + time_limit
+        while True:
+            try:
+                return self._solve_at_depth(
+                    deadline, max_expansions, chunk, escalate_depth
+                )
+            except _EscalateDepth:
+                self._escalate()
+
+    def _escalate(self) -> None:
+        """Rebuilds tables/config one pushing depth deeper (depth-0 tables
+        only carry the agent's distance block, so they must be rebuilt)."""
+        new_depth = self.max_depth + 1
+        if self.max_depth == 0:
+            self.tables = build_rgd_tables(
+                self.puzzle, self.cp, max_depth=new_depth
+            )
+        self.max_depth = new_depth
+
+    def _solve_at_depth(
+        self,
+        deadline: Optional[float],
+        max_expansions: Optional[int],
+        chunk: int,
+        escalate_depth: bool,
+    ) -> Optional[List[int]]:
+        """One full search at the current compiled depth.
 
         The chunk loop is PIPELINED: the next chunk is enqueued before the
         previous chunk's status is read back, so the ~25 ms D2H round-trip
@@ -305,7 +366,6 @@ class BatchedPlanner:
         s = self.init_state()
         if self.puzzle.is_goal_state(self.puzzle.initial_state):
             return []
-        deadline = None if time_limit is None else time.monotonic() + time_limit
         cfg = self.config
 
         s_prev = run_chunk(self.cp, self.tables, cfg, s, chunk)
@@ -314,18 +374,32 @@ class BatchedPlanner:
             s_next = run_chunk(self.cp, self.tables, cfg, s_prev, chunk)
             stat_next = search_status(s_next)
             stat = np.asarray(stat_prev)  # sync point for chunk k-1
-            solved, _, min_key, cursor, expansions, evictions, _ = (
-                int(v) for v in stat
+            solved, _, min_key, cursor, expansions, evictions, n_deeper = (
+                int(stat[i]) for i in (0, 1, 2, 3, 4, 5, 7)
             )
             if solved:
                 s = s_prev
                 break
             if min_key >= EMPTY:
+                # INF-scored states are ordered last but never pruned, so
+                # an eviction-free exhaustion is a complete search at ANY
+                # depth: truly no solution.
                 if evictions == 0:
-                    return None  # complete search: truly no solution
+                    return None
                 # Capacity evictions pruned states that cannot be
                 # re-generated from an empty frontier: inconclusive.
                 raise TimeoutError("frontier exhausted after evictions")
+            # Best frontier entry is INF-scored: no heuristic guidance left
+            # at this depth, but deeper chains could score flagged states —
+            # restart one depth deeper (a guidance fix, not a completeness
+            # fix).
+            if (
+                escalate_depth
+                and n_deeper > 0
+                and self.max_depth < self.MAX_ESCALATED_DEPTH
+                and ((min_key >> 16) & 0x1FFF) >= 8190
+            ):
+                raise _EscalateDepth
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("time budget exhausted")
             if max_expansions is not None and expansions >= max_expansions:
@@ -389,61 +463,78 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
 
         # 6. score new children.
         nov, novelty = novelty_score_and_update(s.novelty, children, moved, is_new)
-        rgd = rgd_heuristic(t, children, max_depth=cfg.max_depth)
+        rgd, deeper_flag = rgd_heuristic_with_flags(
+            t, children, max_depth=cfg.max_depth
+        )
         h = _priority(nov, rgd, hist_idx, cfg.use_novelty)
         h = jnp.where(is_new, h, np.int32(EMPTY))
+        n_deeper = jnp.sum((deeper_flag & is_new).astype(jnp.int32))
 
         # 7. merge into the frontier (keep the F best).  The selected B
         # entries were consumed, so the survivors are the (already sorted)
         # slice [B:]; the 4B children are sorted once and stable-merged via
-        # two searchsorted rank computations — O((F + B) log B) instead of a
-        # full top_k over F + 4B keys.  States evicted by the capacity bound
-        # are DELETED from the visited set so they can be re-generated later
-        # (the reference frontier is unbounded; without this, an evicted
-        # state on the only path to the goal would be lost forever).
+        # searchsorted rank computations — O((F + B) log B) instead of a
+        # full top_k over F + 4B keys.  The merged arrays are built with
+        # GATHERS, not scatters: XLA lowers TPU scatters to a serial
+        # per-row loop, and scattering all F rows dominated the whole
+        # iteration (measured 2x the remaining cost); gathers vectorize.
+        # States evicted by the capacity bound are DELETED from the visited
+        # set so they can be re-generated later (the reference frontier is
+        # unbounded; without this, an evicted state on the only path to the
+        # goal would be lost forever).
         R = F - B  # surviving frontier entries
         rest_h = s.frontier_h[B:]
         ord_ = jnp.argsort(h)
         ch_h = h[ord_]
-        ch_states = children[ord_]
-        ch_hist = hist_idx[ord_]
-        ch_lo = lo[ord_]
-        ch_hi = hi[ord_]
-        #
 
         # Stable-merge ranks: equal keys place survivors before children.
-        pos_rest = jnp.searchsorted(ch_h, rest_h, side="left") + jnp.arange(
-            R, dtype=jnp.int32
-        )
-        pos_ch = jnp.searchsorted(rest_h, ch_h, side="right") + jnp.arange(
+        pos_ch = jnp.searchsorted(
+            rest_h, ch_h, side="right", method="compare_all"
+        ) + jnp.arange(
             4 * B, dtype=jnp.int32
         )
-        new_h = jnp.full((F,), EMPTY, jnp.int32)
-        new_h = new_h.at[pos_rest].set(rest_h, mode="drop")
-        new_h = new_h.at[pos_ch].set(ch_h, mode="drop")
-        new_states = jnp.zeros((F, N, 2), jnp.int32)
-        new_states = new_states.at[pos_rest].set(s.frontier_states[B:], mode="drop")
-        new_states = new_states.at[pos_ch].set(ch_states, mode="drop")
-        new_hist = jnp.zeros((F,), jnp.int32)
-        new_hist = new_hist.at[pos_rest].set(s.frontier_hist[B:], mode="drop")
-        new_hist = new_hist.at[pos_ch].set(ch_hist, mode="drop")
-        new_lo = jnp.zeros((F,), jnp.uint32)
-        new_lo = new_lo.at[pos_rest].set(s.frontier_lo[B:], mode="drop")
-        new_lo = new_lo.at[pos_ch].set(ch_lo, mode="drop")
-        new_hi = jnp.zeros((F,), jnp.uint32)
-        new_hi = new_hi.at[pos_rest].set(s.frontier_hi[B:], mode="drop")
-        new_hi = new_hi.at[pos_ch].set(ch_hi, mode="drop")
+        # Gather formulation: the two rank arrays jointly cover the merged
+        # range 0..R+4B-1 exactly once (standard stable merge ranks), so
+        # output slot j holds sorted-child c-1 when pos_ch contains j
+        # (c = #children placed at slots <= j), else survivor j - c.
+        # EMPTY slots need no special casing — free survivor slots and
+        # non-new children carry EMPTY keys as ordinary elements.
+        out_j = jnp.arange(F, dtype=jnp.int32)
+        c_j = jnp.searchsorted(
+            pos_ch, out_j, side="right", method="compare_all"
+        ).astype(jnp.int32)
+        is_child = (c_j > 0) & (pos_ch[jnp.maximum(c_j - 1, 0)] == out_j)
+        idx_ch = ord_[jnp.maximum(c_j - 1, 0)]  # into the UNSORTED children
+        rest_take = jnp.clip(out_j - c_j, 0, R - 1)
+
+        def merged(ch_vals, rest_vals):
+            take = jnp.where(is_child, idx_ch, 0)
+            keep = jnp.where(is_child, 0, rest_take)
+            cond = is_child
+            if ch_vals.ndim > 1:
+                cond = cond.reshape((F,) + (1,) * (ch_vals.ndim - 1))
+            return jnp.where(cond, ch_vals[take], rest_vals[keep])
+
+        new_h = merged(h, rest_h)
+        new_states = merged(children, s.frontier_states[B:])
+        new_hist = merged(hist_idx, s.frontier_hist[B:])
+        new_lo = merged(lo, s.frontier_lo[B:])
+        new_hi = merged(hi, s.frontier_hi[B:])
 
         # Evictions: merged positions >= F.  At most 3B survivors can be
         # pushed past F (merged length is F + 3B), and they are the worst
         # (last) survivors, so only the tail needs un-visiting.
         tail = max(0, R - 3 * B)
-        ev_rest = (pos_rest[tail:] >= F) & (rest_h[tail:] < EMPTY)
+        rest_h_tail = rest_h[tail:]
+        pos_rest_tail = jnp.searchsorted(
+            ch_h, rest_h_tail, side="left", method="compare_all"
+        ) + jnp.arange(tail, R, dtype=jnp.int32)
+        ev_rest = (pos_rest_tail >= F) & (rest_h_tail < EMPTY)
         ev_ch = (pos_ch >= F) & (ch_h < EMPTY)
         visited = probe_delete(
             visited, s.frontier_lo[B + tail :], s.frontier_hi[B + tail :], ev_rest
         )
-        visited = probe_delete(visited, ch_lo, ch_hi, ev_ch)
+        visited = probe_delete(visited, lo[ord_], hi[ord_], ev_ch)
         n_evicted = jnp.sum(ev_rest.astype(jnp.int32)) + jnp.sum(
             ev_ch.astype(jnp.int32)
         )
@@ -463,6 +554,7 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
             iterations=s.iterations + 1,
             expansions=s.expansions + jnp.sum(sel_valid.astype(jnp.int32)),
             evictions=s.evictions + n_evicted,
+            needs_deeper=s.needs_deeper + n_deeper,
         )
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))

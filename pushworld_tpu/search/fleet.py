@@ -58,9 +58,16 @@ def _device_multiplex(
     frontier_capacity: int = 1 << 15,
     visited_bits: int = 21,
     history_capacity: int = 1 << 21,
+    coordination: Optional[dict] = None,
 ):
     """Runs one single-lane batched search per puzzle, multiplexed over the
     chip in pipelined chunks; yields (name, PlanResult) as lanes finish.
+
+    ``coordination`` (when given) is the fleet's work-stealing channel:
+    {"lock", "lanes": {name: (puzzle, deadline)}, "stolen": set()}.  Active
+    lanes are registered so idle host workers can steal them back; lanes
+    whose name lands in ``stolen`` are dropped without yielding a result
+    (the stealing host worker reports the instance instead).
 
     The chip executes one program at a time, so multiplexing independent
     single-lane programs gets the same device utilization as a stacked
@@ -190,8 +197,14 @@ def _device_multiplex(
 
             while lanes:
                 finished = []
+                stolen_now = []
                 for lane in lanes:
                     pl = lane["planner"]
+                    if coordination is not None:
+                        with coordination["lock"]:
+                            if lane["name"] in coordination["stolen"]:
+                                stolen_now.append(lane)
+                                continue
                     if lane["s"] is None:
                         # First dispatch; the budget clock starts after the
                         # (possibly compiling) dispatch call returns so
@@ -204,6 +217,12 @@ def _device_multiplex(
                             if time_limit is None
                             else lane["t0"] + time_limit
                         )
+                        if coordination is not None:
+                            with coordination["lock"]:
+                                coordination["lanes"][lane["name"]] = (
+                                    lane["puzzle"],
+                                    lane["deadline"],
+                                )
                         continue
                     s_next = run_chunk(pl.cp, pl.tables, pl.config, lane["s"], CHUNK)
                     stat_next = search_status(s_next)
@@ -212,7 +231,7 @@ def _device_multiplex(
                     if _device_stats:
                         _device_stats["status_sync_s"] += time.monotonic() - sync0
                         _device_stats["chunk_dispatches"] += 1
-                    solved, _, min_key, cursor, _, evictions, _ = (
+                    solved, _, min_key, cursor, _, evictions, _, _ = (
                         int(v) for v in stat
                     )
                     dt = time.monotonic() - lane["t0"]
@@ -247,8 +266,15 @@ def _device_multiplex(
                         finished.append((lane, r))
                         continue
                     lane["s"], lane["stat"] = s_next, stat_next
+                for lane in stolen_now:
+                    lanes.remove(lane)
                 for lane, r in finished:
                     lanes.remove(lane)
+                    if coordination is not None:
+                        with coordination["lock"]:
+                            coordination["lanes"].pop(lane["name"], None)
+                            if lane["name"] in coordination["stolen"]:
+                                continue  # host worker owns this instance
                     yield lane["name"], r
 
 
@@ -299,9 +325,19 @@ def plan_puzzles_fleet(
     # Host workers keep at least this many instances for themselves; the
     # device claims groups beyond the reserve.
     reserve = 2 * native_workers if native_ok else 0
+    # Work-stealing channel: the device registers active lanes; host
+    # workers that run out of queued work steal them back and finish them
+    # natively within the lane's remaining budget (the round-2 failure
+    # mode was the inverse — the device holding hard lanes to their
+    # deadlines while host workers idle-joined).
+    # "pending" counts instances the device has claimed but not resolved —
+    # host workers only exit when the queue is empty AND nothing is pending.
+    coordination = {"lock": lock, "lanes": {}, "stolen": set(), "pending": 0}
 
     def record(name: str, r: PlanResult) -> None:
         with lock:
+            if name in results:
+                return  # first result wins (steal races are benign)
             results[name] = r
         if progress:
             status = "ok" if r.failure_reason is None else r.failure_reason
@@ -309,14 +345,34 @@ def plan_puzzles_fleet(
 
     def native_loop() -> None:
         while True:
+            budget = time_limit
+            name = None
             with lock:
-                if not dq:
+                if dq:
+                    name, puzzle = dq.popleft()
+                elif use_device and coordination["lanes"]:
+                    # Steal an unfinished device lane: finish it natively
+                    # within its remaining budget.
+                    name, (puzzle, deadline) = next(
+                        iter(coordination["lanes"].items())
+                    )
+                    del coordination["lanes"][name]
+                    coordination["stolen"].add(name)
+                    coordination["pending"] -= 1
+                    if deadline is not None:
+                        budget = max(0.1, deadline - time.monotonic())
+                elif not (use_device and coordination["pending"] > 0):
                     return
-                name, puzzle = dq.popleft()
+            if name is None:
+                # The device holds claimed instances that are not yet
+                # registered (table build / first compile): wait for them
+                # to become stealable instead of exiting.
+                time.sleep(0.1)
+                continue
             t0 = time.monotonic()
             try:
                 plan = bridge.solve_native_staged(
-                    puzzle, mode=mode, time_limit=time_limit
+                    puzzle, mode=mode, time_limit=budget
                 )
                 r = _classify(puzzle, plan, time.monotonic() - t0)
                 r.solver = "native"
@@ -372,14 +428,18 @@ def plan_puzzles_fleet(
                 if avail < 2:
                     continue
                 group = [dq.pop() for _ in range(min(group_size, avail))]
+                coordination["pending"] += len(group)
             group.reverse()
             processed = set()
             try:
                 for name, r in _device_multiplex(
-                    group, mode=mode, time_limit=time_limit, **group_kwargs
+                    group, mode=mode, time_limit=time_limit,
+                    coordination=coordination, **group_kwargs
                 ):
                     record(name, r)
                     processed.add(name)
+                    with lock:
+                        coordination["pending"] -= 1
             except Exception as e:
                 # Give the unprocessed rest of the claim back to the host
                 # workers — but loudly: a silent return would degrade every
@@ -388,12 +448,19 @@ def plan_puzzles_fleet(
 
                 print(
                     f"[fleet] device worker failed ({type(e).__name__}: {e}); "
-                    f"returning {len(group) - len(processed)} puzzles to host queue",
+                    f"returning unprocessed puzzles to host queue",
                     flush=True,
                 )
                 traceback.print_exc()
                 with lock:
-                    dq.extend(g for g in group if g[0] not in processed)
+                    for g in group:
+                        if (
+                            g[0] not in processed
+                            and g[0] not in coordination["stolen"]
+                        ):
+                            dq.append(g)
+                            coordination["pending"] -= 1
+                        coordination["lanes"].pop(g[0], None)
                 return
 
     threads: List[threading.Thread] = []

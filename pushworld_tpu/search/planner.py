@@ -188,7 +188,7 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
             s_next = run_chunk(planner.cp, planner.tables, cfg, s, CHUNK)
             stat_next = search_status(s_next)
             stat = _np.asarray(stat_f)  # sync point for the previous chunk
-            solved, _, min_key, cursor, _, evictions, iters = (
+            solved, _, min_key, cursor, _, evictions, iters, _ = (
                 int(v) for v in stat
             )
             chunks += 1

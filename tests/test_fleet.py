@@ -66,3 +66,23 @@ def test_fleet_no_solution_classification(puzzles_dir):
     )
     assert results["ns"].failure_reason == "no solution"
     assert results["ns"].plan is None
+
+
+def test_fleet_work_stealing_no_loss_no_hang():
+    # Host worker + forced device contend for a small set; the steal
+    # channel (device lanes reclaimable by idle hosts) must neither lose
+    # nor duplicate instances, and the run must terminate.
+    named = _benchmark_set("level1", 7)
+    results = plan_puzzles_fleet(
+        named,
+        time_limit=60.0,
+        native_workers=1,
+        device_worker="force",
+        group_size=4,
+        device_claim_delay=0.0,
+    )
+    assert set(results) == {n for n, _ in named}
+    for name, puzzle in named:
+        r = results[name]
+        assert r.failure_reason is None, (name, r.failure_reason)
+        assert r.plan == [] or puzzle.is_valid_plan(r.plan)
