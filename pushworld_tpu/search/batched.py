@@ -411,6 +411,97 @@ class BatchedPlanner:
         return reconstruct_plan(s)
 
 
+def _append_history(s: SearchState, cfg: SearchConfig, is_new, phist4, actions):
+    """Appends the new children's (parent, action) records to the history.
+
+    Returns (hist_parent, hist_action, hist_cursor, hist_idx)."""
+    offs = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    hist_idx = jnp.where(is_new, s.hist_cursor + offs, 0)
+    write_idx = jnp.where(is_new, hist_idx, cfg.history_capacity - 1)
+    hist_parent = s.hist_parent.at[write_idx].set(
+        jnp.where(is_new, phist4, s.hist_parent[write_idx])
+    )
+    hist_action = s.hist_action.at[write_idx].set(
+        jnp.where(is_new, actions, s.hist_action[write_idx])
+    )
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    hist_cursor = jnp.minimum(s.hist_cursor + n_new, cfg.history_capacity - 8)
+    return hist_parent, hist_action, hist_cursor, hist_idx
+
+
+def _merge_frontier(s: SearchState, B: int, h, children, hist_idx, lo, hi, visited):
+    """Merges the 4B scored children into the sorted frontier, keeping the
+    F best.  The selected B entries were consumed, so the survivors are the
+    (already sorted) slice [B:]; the 4B children are sorted once and
+    stable-merged via searchsorted rank computations — O((F + B) log B)
+    instead of a full top_k over F + 4B keys.  The merged arrays are built
+    with GATHERS, not scatters: XLA lowers TPU scatters to a serial
+    per-row loop, and scattering all F rows dominated the whole iteration
+    (measured 2x the remaining cost); gathers vectorize.  States evicted by
+    the capacity bound are DELETED from the visited set so they can be
+    re-generated later (the reference frontier is unbounded; without this,
+    an evicted state on the only path to the goal would be lost forever).
+
+    Returns (new_states, new_h, new_hist, new_lo, new_hi, visited,
+    n_evicted)."""
+    F = s.frontier_h.shape[0]
+    R = F - B  # surviving frontier entries
+    rest_h = s.frontier_h[B:]
+    ord_ = jnp.argsort(h)
+    ch_h = h[ord_]
+
+    # Stable-merge ranks: equal keys place survivors before children.
+    pos_ch = jnp.searchsorted(
+        rest_h, ch_h, side="right", method="compare_all"
+    ) + jnp.arange(4 * B, dtype=jnp.int32)
+    # Gather formulation: the two rank arrays jointly cover the merged
+    # range 0..R+4B-1 exactly once (standard stable merge ranks), so
+    # output slot j holds sorted-child c-1 when pos_ch contains j
+    # (c = #children placed at slots <= j), else survivor j - c.
+    # EMPTY slots need no special casing — free survivor slots and
+    # non-new children carry EMPTY keys as ordinary elements.
+    out_j = jnp.arange(F, dtype=jnp.int32)
+    c_j = jnp.searchsorted(
+        pos_ch, out_j, side="right", method="compare_all"
+    ).astype(jnp.int32)
+    is_child = (c_j > 0) & (pos_ch[jnp.maximum(c_j - 1, 0)] == out_j)
+    idx_ch = ord_[jnp.maximum(c_j - 1, 0)]  # into the UNSORTED children
+    rest_take = jnp.clip(out_j - c_j, 0, R - 1)
+
+    def merged(ch_vals, rest_vals):
+        take = jnp.where(is_child, idx_ch, 0)
+        keep = jnp.where(is_child, 0, rest_take)
+        cond = is_child
+        if ch_vals.ndim > 1:
+            cond = cond.reshape((F,) + (1,) * (ch_vals.ndim - 1))
+        return jnp.where(cond, ch_vals[take], rest_vals[keep])
+
+    new_h = merged(h, rest_h)
+    new_states = merged(children, s.frontier_states[B:])
+    new_hist = merged(hist_idx, s.frontier_hist[B:])
+    new_lo = merged(lo, s.frontier_lo[B:])
+    new_hi = merged(hi, s.frontier_hi[B:])
+
+    # Evictions: merged positions >= F.  At most 3B survivors can be
+    # pushed past F (merged length is F + 3B), and they are the worst
+    # (last) survivors, so only the tail needs un-visiting.
+    tail = max(0, R - 3 * B)
+    rest_h_tail = rest_h[tail:]
+    pos_rest_tail = jnp.searchsorted(
+        ch_h, rest_h_tail, side="left", method="compare_all"
+    ) + jnp.arange(tail, R, dtype=jnp.int32)
+    ev_rest = (pos_rest_tail >= F) & (rest_h_tail < EMPTY)
+    ev_ch = (pos_ch >= F) & (ch_h < EMPTY)
+    visited = probe_delete(
+        visited, s.frontier_lo[B + tail :], s.frontier_hi[B + tail :], ev_rest
+    )
+    visited = probe_delete(visited, lo[ord_], hi[ord_], ev_ch)
+    n_evicted = jnp.sum(ev_rest.astype(jnp.int32)) + jnp.sum(
+        ev_ch.astype(jnp.int32)
+    )
+    return new_states, new_h, new_hist, new_lo, new_hi, visited, n_evicted
+
+
 def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         B, N = cfg.expand, cp.n
         F = s.frontier_h.shape[0]
@@ -438,18 +529,8 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         is_new, visited = probe_and_insert(s.visited, lo, hi, uniq)
 
         # 4. history append for new children.
-        offs = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-        hist_idx = jnp.where(is_new, s.hist_cursor + offs, 0)
-        write_idx = jnp.where(is_new, hist_idx, cfg.history_capacity - 1)
-        hist_parent = s.hist_parent.at[write_idx].set(
-            jnp.where(is_new, phist4, s.hist_parent[write_idx])
-        )
-        hist_action = s.hist_action.at[write_idx].set(
-            jnp.where(is_new, actions, s.hist_action[write_idx])
-        )
-        n_new = jnp.sum(is_new.astype(jnp.int32))
-        hist_cursor = jnp.minimum(
-            s.hist_cursor + n_new, cfg.history_capacity - 8
+        hist_parent, hist_action, hist_cursor, hist_idx = _append_history(
+            s, cfg, is_new, phist4, actions
         )
 
         # 5. goal check (first solved child wins).
@@ -470,74 +551,16 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         h = jnp.where(is_new, h, np.int32(EMPTY))
         n_deeper = jnp.sum((deeper_flag & is_new).astype(jnp.int32))
 
-        # 7. merge into the frontier (keep the F best).  The selected B
-        # entries were consumed, so the survivors are the (already sorted)
-        # slice [B:]; the 4B children are sorted once and stable-merged via
-        # searchsorted rank computations — O((F + B) log B) instead of a
-        # full top_k over F + 4B keys.  The merged arrays are built with
-        # GATHERS, not scatters: XLA lowers TPU scatters to a serial
-        # per-row loop, and scattering all F rows dominated the whole
-        # iteration (measured 2x the remaining cost); gathers vectorize.
-        # States evicted by the capacity bound are DELETED from the visited
-        # set so they can be re-generated later (the reference frontier is
-        # unbounded; without this, an evicted state on the only path to the
-        # goal would be lost forever).
-        R = F - B  # surviving frontier entries
-        rest_h = s.frontier_h[B:]
-        ord_ = jnp.argsort(h)
-        ch_h = h[ord_]
-
-        # Stable-merge ranks: equal keys place survivors before children.
-        pos_ch = jnp.searchsorted(
-            rest_h, ch_h, side="right", method="compare_all"
-        ) + jnp.arange(
-            4 * B, dtype=jnp.int32
-        )
-        # Gather formulation: the two rank arrays jointly cover the merged
-        # range 0..R+4B-1 exactly once (standard stable merge ranks), so
-        # output slot j holds sorted-child c-1 when pos_ch contains j
-        # (c = #children placed at slots <= j), else survivor j - c.
-        # EMPTY slots need no special casing — free survivor slots and
-        # non-new children carry EMPTY keys as ordinary elements.
-        out_j = jnp.arange(F, dtype=jnp.int32)
-        c_j = jnp.searchsorted(
-            pos_ch, out_j, side="right", method="compare_all"
-        ).astype(jnp.int32)
-        is_child = (c_j > 0) & (pos_ch[jnp.maximum(c_j - 1, 0)] == out_j)
-        idx_ch = ord_[jnp.maximum(c_j - 1, 0)]  # into the UNSORTED children
-        rest_take = jnp.clip(out_j - c_j, 0, R - 1)
-
-        def merged(ch_vals, rest_vals):
-            take = jnp.where(is_child, idx_ch, 0)
-            keep = jnp.where(is_child, 0, rest_take)
-            cond = is_child
-            if ch_vals.ndim > 1:
-                cond = cond.reshape((F,) + (1,) * (ch_vals.ndim - 1))
-            return jnp.where(cond, ch_vals[take], rest_vals[keep])
-
-        new_h = merged(h, rest_h)
-        new_states = merged(children, s.frontier_states[B:])
-        new_hist = merged(hist_idx, s.frontier_hist[B:])
-        new_lo = merged(lo, s.frontier_lo[B:])
-        new_hi = merged(hi, s.frontier_hi[B:])
-
-        # Evictions: merged positions >= F.  At most 3B survivors can be
-        # pushed past F (merged length is F + 3B), and they are the worst
-        # (last) survivors, so only the tail needs un-visiting.
-        tail = max(0, R - 3 * B)
-        rest_h_tail = rest_h[tail:]
-        pos_rest_tail = jnp.searchsorted(
-            ch_h, rest_h_tail, side="left", method="compare_all"
-        ) + jnp.arange(tail, R, dtype=jnp.int32)
-        ev_rest = (pos_rest_tail >= F) & (rest_h_tail < EMPTY)
-        ev_ch = (pos_ch >= F) & (ch_h < EMPTY)
-        visited = probe_delete(
-            visited, s.frontier_lo[B + tail :], s.frontier_hi[B + tail :], ev_rest
-        )
-        visited = probe_delete(visited, lo[ord_], hi[ord_], ev_ch)
-        n_evicted = jnp.sum(ev_rest.astype(jnp.int32)) + jnp.sum(
-            ev_ch.astype(jnp.int32)
-        )
+        # 7. merge into the frontier (keep the F best).
+        (
+            new_states,
+            new_h,
+            new_hist,
+            new_lo,
+            new_hi,
+            visited,
+            n_evicted,
+        ) = _merge_frontier(s, B, h, children, hist_idx, lo, hi, visited)
         return SearchState(
             frontier_states=new_states,
             frontier_h=new_h,

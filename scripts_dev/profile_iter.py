@@ -85,6 +85,7 @@ tables = build_rgd_tables(
 # Baseline component implementations (restored between variants).
 ORIG = dict(
     rgd_heuristic=B.rgd_heuristic,
+    rgd_heuristic_with_flags=B.rgd_heuristic_with_flags,
     novelty_score_and_update=B.novelty_score_and_update,
     probe_and_insert=B.probe_and_insert,
     probe_delete=B.probe_delete,
@@ -92,12 +93,65 @@ ORIG = dict(
     fingerprint=B.fingerprint,
     step=B.step,
     is_goal_state=B.is_goal_state,
+    _merge_frontier=B._merge_frontier,
+    _append_history=B._append_history,
 )
 
 
 def _stub_rgd(t, states, max_depth=0):
     # Cheap data-dependent stand-in (can't be constant-folded).
     return jnp.sum(states[:, 0, :], axis=-1).astype(jnp.float32)
+
+
+def _stub_rgd_flags(t, states, max_depth=0):
+    h = _stub_rgd(t, states, max_depth)
+    return h, jnp.zeros(h.shape, bool)
+
+
+def _stub_merge(s, Bx, h, children, hist_idx, lo, hi, visited):
+    F = s.frontier_h.shape[0]
+    nb = 4 * Bx
+    new_h = jnp.roll(s.frontier_h, -nb).at[-nb:].set(h)
+    new_states = jnp.roll(s.frontier_states, -nb, axis=0).at[-nb:].set(children)
+    new_hist = jnp.roll(s.frontier_hist, -nb).at[-nb:].set(hist_idx)
+    new_lo = jnp.roll(s.frontier_lo, -nb).at[-nb:].set(lo)
+    new_hi = jnp.roll(s.frontier_hi, -nb).at[-nb:].set(hi)
+    return new_states, new_h, new_hist, new_lo, new_hi, visited, jnp.int32(0)
+
+
+def _stub_history(s, cfg, is_new, phist4, actions):
+    hist_idx = jnp.cumsum(is_new.astype(jnp.int32)) + s.hist_cursor - 1
+    return s.hist_parent, s.hist_action, s.hist_cursor + 1, hist_idx
+
+
+def _stub_step(cp, state, action):
+    import numpy as _np
+
+    disp = jnp.asarray(_np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], _np.int32))
+    return state + disp[action][None, :]
+
+
+def _vec_step(cp, state, action):
+    # Candidate optimization: transitive closure by vector iteration
+    # (n-1 vec-mat steps) instead of matrix squaring (log n mat-mat).
+    from pushworld_tpu.ops.step import DISPLACEMENTS, _push_matrix
+
+    x = state[..., 0]
+    y = state[..., 1]
+    idx = np.arange(cp.n)
+    blocked_static = cp.static_block[action, idx, y, x]
+    m = _push_matrix(cp, state, action).astype(jnp.float32)
+    r0 = np.zeros((cp.n,), np.float32)
+    r0[0] = 1.0
+    r = jnp.asarray(r0)
+    for _ in range(cp.n - 1):
+        r = jnp.minimum(1.0, r + r @ m)
+    pushed = r > 0.5
+    movable_blocked = jnp.any(pushed[1:] & blocked_static[1:])
+    nothing_moves = blocked_static[0] | movable_blocked
+    moved = pushed & ~nothing_moves & cp.obj_mask
+    disp = jnp.asarray(DISPLACEMENTS)[action]
+    return state + disp[None, :] * moved[:, None].astype(jnp.int32)
 
 
 def _stub_novelty(tables_, states, moved, is_new):
@@ -123,7 +177,10 @@ def _stub_goal(cp_, states):
 
 VARIANTS = {
     "full": {},
-    "no_rgd": {"rgd_heuristic": _stub_rgd},
+    "no_rgd": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+    },
     "no_novelty": {"novelty_score_and_update": _stub_novelty},
     "no_hashset": {
         "probe_and_insert": _stub_probe_insert,
@@ -138,8 +195,43 @@ VARIANTS = {
     },
     "bookkeeping_only": {  # hash/dedup/merge kept; scoring stubbed
         "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
         "novelty_score_and_update": _stub_novelty,
     },
+    # Finer decomposition within the bookkeeping path (scoring stubbed in
+    # all of these so deltas isolate one component).
+    "bk_no_merge": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+        "novelty_score_and_update": _stub_novelty,
+        "_merge_frontier": _stub_merge,
+    },
+    "bk_no_history": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+        "novelty_score_and_update": _stub_novelty,
+        "_append_history": _stub_history,
+    },
+    "bk_no_step": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+        "novelty_score_and_update": _stub_novelty,
+        "step": _stub_step,
+    },
+    "bk_no_hashset": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+        "novelty_score_and_update": _stub_novelty,
+        "probe_and_insert": _stub_probe_insert,
+        "probe_delete": _stub_probe_delete,
+    },
+    "bk_no_dedup": {
+        "rgd_heuristic": _stub_rgd,
+        "rgd_heuristic_with_flags": _stub_rgd_flags,
+        "novelty_score_and_update": _stub_novelty,
+        "dedup_batch": _stub_dedup,
+    },
+    "vec_step": {"step": _vec_step},  # full pipeline, vector-closure step
 }
 
 only = os.environ.get("PW_VARIANTS")
