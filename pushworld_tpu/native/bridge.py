@@ -90,15 +90,25 @@ def solve_native(
     address-space rlimit (reference: utils/process.py:61-71) as an
     in-process cap on the search's dominant allocations.
 
-    ``queue`` selects the within-bucket expansion order ("lifo" or
-    "fifo"); greedy best-first outcomes are ordering-sensitive and the
-    staged portfolio exploits both disciplines."""
+    ``queue`` is a "+"-separated token string selecting the search style:
+    "lifo" or "fifo" picks the within-bucket expansion order; adding
+    "lazy" defers heuristic evaluation to node expansion (children are
+    queued under their parent's key — one RGD evaluation per expanded
+    node instead of per generated child); adding "prune" cuts non-novel
+    (novelty-3) states entirely instead of ordering them last (width-based
+    pruning; the search becomes incomplete, so exhaustion reports
+    TimeoutError, never "no solution").  Greedy best-first outcomes are
+    ordering-sensitive and the staged portfolio exploits all disciplines."""
     from pushworld_tpu.core.compiled import compile_puzzle
 
     lib = _load()
     if lib is None:
         raise RuntimeError("native planner unavailable (g++ build failed)")
     cp = compiled if compiled is not None else compile_puzzle(puzzle)
+    tokens = set(queue.split("+"))
+    unknown = tokens - {"lifo", "fifo", "lazy", "prune"}
+    if unknown:
+        raise ValueError(f"unknown queue tokens: {sorted(unknown)}")
 
     n = puzzle.num_movables
     # Slice off bucket padding: the C side indexes by the real movable count.
@@ -119,7 +129,10 @@ def solve_native(
         init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         goals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         puzzle.num_goals,
-        (1 if mode == "N+RGD" else 0) | (2 if queue == "fifo" else 0),
+        (1 if mode == "N+RGD" else 0)
+        | (2 if "fifo" in tokens else 0)
+        | (4 if "lazy" in tokens else 0)
+        | (8 if "prune" in tokens else 0),
         -1.0 if time_limit is None else float(time_limit),
         float(mem_limit_gb),
         int(max_expansions),

@@ -604,17 +604,20 @@ static int64_t pw_solve_impl(
   RGD rgd(pz);
   Novelty novelty(n);
 
-  // Node arena: states (n ints each) + parent/action records.
+  // Node arena: states (n ints each) + parent/action/moved records.
   std::vector<int32_t> arena;
   std::vector<int32_t> parents;
   std::vector<int8_t> actions;
+  std::vector<uint32_t> moved_masks;  // for deferred novelty evaluation
   arena.reserve((size_t)n * 1 << 20);
 
-  auto add_node = [&](const int32_t* s, int32_t parent, int8_t action) {
+  auto add_node = [&](const int32_t* s, int32_t parent, int8_t action,
+                      uint32_t moved) {
     const int32_t idx = (int32_t)parents.size();
     arena.insert(arena.end(), s, s + n);
     parents.push_back(parent);
     actions.push_back(action);
+    moved_masks.push_back(moved);
     return idx;
   };
 
@@ -622,17 +625,30 @@ static int64_t pw_solve_impl(
   // table every call, hard searches grow as far as the memory cap allows.
   Visited visited(16, &arena, n);
   // use_novelty bit 0: lexicographic novelty stacking; bit 1: FIFO
-  // within-bucket order (LIFO otherwise).
+  // within-bucket order (LIFO otherwise); bit 2: deferred (lazy)
+  // heuristic evaluation — children are queued under their PARENT's
+  // (novelty, rgd) key and evaluated once when popped, cutting heuristic
+  // work from per-generated to per-expanded (the reference evaluates every
+  // generated child, best_first_search.h:76-94 — eager mode matches that);
+  // bit 3: prune non-novel states (novelty == 3) instead of ordering them
+  // last — a width-based cut of the search space (cf. the BFWS family the
+  // reference's novelty heuristic derives from, novelty.h:50-82).  Pruning
+  // makes exhaustion inconclusive, so an empty frontier returns -2, not -1.
   BucketQueue frontier((use_novelty & 2) != 0);
+  const bool lazy = (use_novelty & 4) != 0;
+  const bool prune = (use_novelty & 8) != 0;
   use_novelty &= 1;
 
-  const int32_t root = add_node(pz.init_state.data(), -1, -1);
+  const int32_t root =
+      add_node(pz.init_state.data(), -1, -1, (1u << n) - 1);
   visited.insert(pz.init_state.data(), root);
-  {
+  if (!lazy) {
     const float nov = novelty.estimate(pz.init_state.data(), (1u << n) - 1);
     const float h = rgd.estimate(pz.init_state.data());
     if (use_novelty) frontier.push(root, nov, h);
     else frontier.push(root, 1.f, h);
+  } else {
+    frontier.push(root, 1.f, 0.f);
   }
 
   // Deterministic action orders: xorshift-selected permutations remove
@@ -665,12 +681,26 @@ static int64_t pw_solve_impl(
       // (utils/process.py:61-71): cap the search's dominant allocations.
       const size_t bytes = arena.capacity() * sizeof(int32_t) +
                            parents.capacity() * sizeof(int32_t) +
+                           moved_masks.capacity() * sizeof(uint32_t) +
                            actions.capacity() + visited.mem_bytes();
       if (bytes > mem_limit_bytes) return finish(-5);
     }
     const int32_t node = frontier.pop();
     const int32_t* state = arena.data() + (size_t)node * n;
     expansions++;
+
+    // Deferred evaluation: score the popped state once; its children are
+    // queued under this key.  Non-novel states are cut here in prune mode
+    // (their one evaluation already happened — no expansion).
+    float node_nov = 1.f, node_h = 0.f;
+    if (lazy) {
+      node_nov = (use_novelty || prune)
+                     ? novelty.estimate(state, moved_masks[node])
+                     : 1.f;
+      if (prune && node_nov >= 3.f && node != root) continue;
+      node_h = rgd.estimate(state);
+      if (!use_novelty) node_nov = 1.f;
+    }
 
     perm_state ^= perm_state << 13; perm_state ^= perm_state >> 7;
     perm_state ^= perm_state << 17;
@@ -686,7 +716,7 @@ static int64_t pw_solve_impl(
       if (!step(pz, parent_state, a, child.data(), &moved)) continue;
       const int32_t idx = (int32_t)parents.size();
       if (!visited.insert(child.data(), idx)) continue;
-      const int32_t cidx = add_node(child.data(), node, (int8_t)a);
+      const int32_t cidx = add_node(child.data(), node, (int8_t)a, moved);
       if (is_goal(child.data())) {
         // Backtrack.
         std::vector<int32_t> plan;
@@ -701,13 +731,22 @@ static int64_t pw_solve_impl(
         if (out_expansions) *out_expansions = expansions;
         return (int64_t)plan.size();
       }
-      const float h = rgd.estimate(child.data());
-      const float nov = use_novelty ? novelty.estimate(child.data(), moved) : 1.f;
-      frontier.push(cidx, nov, h);
+      if (lazy) {
+        frontier.push(cidx, node_nov, node_h);
+      } else {
+        float nov =
+            use_novelty || prune ? novelty.estimate(child.data(), moved) : 1.f;
+        if (prune && nov >= 3.f) continue;
+        if (!use_novelty) nov = 1.f;
+        const float h = rgd.estimate(child.data());
+        frontier.push(cidx, nov, h);
+      }
     }
   }
   if (out_expansions) *out_expansions = expansions;
-  return -1;
+  // A pruned search that drains its frontier proved nothing about the full
+  // space: report budget-class inconclusiveness, not "no solution".
+  return prune ? -2 : -1;
 }
 
 int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,

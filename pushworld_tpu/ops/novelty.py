@@ -5,13 +5,30 @@ cpp/src/heuristics/novelty.cc:30-77): novelty 1 if any *moved* object is at a
 never-seen position, 2 if any (moved object, other object) position pair is
 unseen, else 3; the visited structures absorb every evaluated state.
 
-Representation differences from the serial reference:
+TPU-first representation (v2 — replaces the scattered hash bitset, which XLA
+lowered to a serial per-row loop that dominated the search iteration):
 
 - single-object visited positions are an exact dense table ``(N, H*W)``;
-- pair visits use a hashed bitset (open bitmap of ``2^pair_bits`` buckets)
-  instead of exact per-pair hash sets — a false positive can only *raise*
-  a state's novelty from 2 to 3 (slightly weaker search guidance, never
-  incorrect results);
+- pair visits use a FACTORED hash table ``T[h(i, pi), h(j, pj)]`` over an
+  ``S x S`` grid of buckets (``S = 2**(pair_bits // 2)``; same total bucket
+  count as the previous flat ``2**pair_bits`` bitset).  Factoring turns both
+  sides of the heuristic into MXU matmuls with NO gathers or scatters:
+
+  * update: ``T |= sign(X^T Y + Y^T X)`` where ``X[b, k]`` one-hot-ORs the
+    moved-object atoms of state ``b`` and ``Y[b, l]`` the atoms of all its
+    objects — the outer-product sum marks exactly the (moved, other) pairs
+    of every absorbed state, symmetrized to match the reference's unordered
+    pair keys (novelty.cc:47-73);
+  * query: a pair of state ``b`` is unseen iff some ``(k, l)`` with
+    ``X[b, k] & Y[b, l]`` has ``T[k, l] = 0``; counting unseen columns via
+    ``sum(Y) - Y @ T`` turns this into one matmul.  Self-pairs (``l = k``,
+    an artifact of querying the full product set) are excluded by
+    subtracting the own-column term.
+
+  Hash collisions (and the product-set relaxation) can only mark MORE cells
+  seen, i.e. only *raise* a state's novelty from 2 to 3 — slightly weaker
+  search guidance, never incorrect results (same failure direction as the
+  previous flat bitset);
 - states in one batch are scored against the tables as of the start of the
   batch, then all their updates are applied at once (lockstep semantics),
   whereas the reference scores strictly sequentially.
@@ -29,25 +46,30 @@ import numpy as np
 @dataclass(frozen=True)
 class NoveltyTables:
     seen_pos: jax.Array  # bool (N, HW)
-    seen_pairs: jax.Array  # bool (2**pair_bits,)
+    pair_table: jax.Array  # bfloat16 (S, S), values 0/1, symmetric
     # static
     n: int
     width: int
     height: int
     pair_bits: int
 
+    @property
+    def side(self) -> int:
+        return 1 << (self.pair_bits // 2)
+
 
 jax.tree_util.register_dataclass(
     NoveltyTables,
-    data_fields=["seen_pos", "seen_pairs"],
+    data_fields=["seen_pos", "pair_table"],
     meta_fields=["n", "width", "height", "pair_bits"],
 )
 
 
 def init_novelty(n: int, height: int, width: int, pair_bits: int = 24) -> NoveltyTables:
+    side = 1 << (pair_bits // 2)
     return NoveltyTables(
         seen_pos=jnp.zeros((n, height * width), jnp.bool_),
-        seen_pairs=jnp.zeros((2 ** pair_bits,), jnp.bool_),
+        pair_table=jnp.zeros((side, side), jnp.bfloat16),
         n=n,
         width=width,
         height=height,
@@ -55,27 +77,14 @@ def init_novelty(n: int, height: int, width: int, pair_bits: int = 24) -> Novelt
     )
 
 
-def _pair_hash(i, j, pi, pj, bits):
-    """Deterministic mix of (object pair, positions) into a bucket index."""
+def _atom_hash(i, p, side):
+    """Deterministic mix of one (object, position) atom into [0, side)."""
     h = (i.astype(jnp.uint32) * np.uint32(0x9E3779B1)) ^ (
-        j.astype(jnp.uint32) * np.uint32(0x85EBCA77)
+        p.astype(jnp.uint32) * np.uint32(0xC2B2AE3D)
     )
-    h = h ^ (pi.astype(jnp.uint32) * np.uint32(0xC2B2AE3D))
-    h = h ^ (pj.astype(jnp.uint32) * np.uint32(0x27D4EB2F))
     h = h * np.uint32(0x165667B1)
     h = h ^ (h >> 15)
-    return (h & np.uint32(2 ** bits - 1)).astype(jnp.int32)
-
-
-# Per-state cap on the number of MOVED objects whose pair rows are scored/
-# absorbed.  One action moves the agent plus its (transitive) push chain;
-# chains beyond 8 objects are essentially absent from the published
-# benchmark, and TPU scatter cost is linear in scattered lanes — the cap
-# cuts the pair-table traffic from B*N*N to B*M*N lanes (2.5x at N=20).
-# Overflowing objects (rare) are simply not scored/absorbed for pairs,
-# which can only RAISE a state's novelty — same failure direction as the
-# hashed bitset's false positives.
-MAX_MOVED = 8
+    return (h & np.uint32(side - 1)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=())
@@ -87,47 +96,47 @@ def novelty_score_and_update(
 ) -> Tuple[jax.Array, NoveltyTables]:
     """Returns ((B,) float32 novelty in {1, 2, 3}, updated tables)."""
     B, N = states.shape[0], t.n
-    M = min(MAX_MOVED, N)
+    S = t.side
     flat = states[..., 1] * t.width + states[..., 0]  # (B, N)
     flat = jnp.clip(flat, 0, t.height * t.width - 1)
 
-    # --- novelty 1: moved object at unseen position.
+    # --- novelty 1: moved object at unseen position (exact dense table).
     pos_seen = t.seen_pos[np.arange(N)[None, :], flat]  # (B, N)
     nov1 = jnp.any(moved & ~pos_seen, axis=1)
 
-    # --- compact the moved objects into M slots (moved-first stable order).
-    mi = jnp.argsort(~moved, axis=1, stable=True)[:, :M]  # (B, M)
-    m_active = jnp.take_along_axis(moved, mi, axis=1)  # (B, M)
+    # --- atom one-hots over the factored bucket space.
+    h = _atom_hash(jnp.asarray(np.arange(N, dtype=np.int32))[None, :], flat, S)
+    iota = jnp.asarray(np.arange(S, dtype=np.int32))
+    eq = h[:, :, None] == iota[None, None, :]  # (B, N, S)
+    X = jnp.any(eq & moved[:, :, None], axis=1)  # (B, S) moved-side atoms
+    Y = jnp.any(eq, axis=1)  # (B, S) all atoms
 
-    # --- novelty 2: (moved i, any j != i) unseen position pair, keyed with
-    # the smaller object index first (reference: novelty.cc:47-73).
-    jj = np.arange(N)[None, None, :]  # (1, 1, N)
-    i3 = mi[:, :, None]  # (B, M, 1)
-    lo = jnp.minimum(i3, jj)  # (B, M, N)
-    hi = jnp.maximum(i3, jj)
-    flat3 = flat[:, None, :]  # (B, 1, N)
-    p_lo = jnp.take_along_axis(
-        jnp.broadcast_to(flat3, (B, M, N)), lo, axis=2
-    )
-    p_hi = jnp.take_along_axis(
-        jnp.broadcast_to(flat3, (B, M, N)), hi, axis=2
-    )
-    buckets = _pair_hash(lo, hi, p_lo, p_hi, t.pair_bits)  # (B, M, N)
-    pair_seen = t.seen_pairs[buckets]  # (B, M, N)
-    pair_active = m_active[:, :, None] & (i3 != jj)  # (B, M, N)
-    nov2 = jnp.any(pair_active & ~pair_seen, axis=(1, 2))
+    # --- novelty 2: unseen (moved, other) pair — one matmul per side.
+    Yf = Y.astype(jnp.bfloat16)
+    ny = jnp.sum(Y.astype(jnp.float32), axis=1)  # (B,)
+    Z = jnp.dot(Yf, t.pair_table, preferred_element_type=jnp.float32)  # (B, S)
+    diag = jnp.diagonal(t.pair_table).astype(jnp.float32)  # (S,)
+    # Exclude the own column (l = k): a moved atom always co-occurs with
+    # itself in Y, and that self-pair is not a reference pair.
+    self_unseen = Y.astype(jnp.float32) * (1.0 - diag)[None, :]
+    unseen_cols = ny[:, None] - Z - self_unseen  # (B, S)
+    nov2 = jnp.any(X & (unseen_cols > 0.5), axis=1)
 
     novelty = jnp.where(nov1, 1.0, jnp.where(nov2, 2.0, 3.0))
 
-    # --- absorb: mark positions of moved objects and active pairs seen.
+    # --- absorb: positions of moved objects + symmetric pair outer-products.
     upd_mask = moved & valid[:, None]
     seen_pos = t.seen_pos.at[np.arange(N)[None, :], flat].max(upd_mask)
-    pair_upd = pair_active & valid[:, None, None]
-    seen_pairs = t.seen_pairs.at[buckets.reshape(-1)].max(pair_upd.reshape(-1))
+    Xv = (X & valid[:, None]).astype(jnp.bfloat16)
+    Yv = (Y & valid[:, None]).astype(jnp.bfloat16)
+    U = jnp.dot(Xv.T, Yv, preferred_element_type=jnp.float32)  # (S, S)
+    pair_table = jnp.maximum(
+        t.pair_table, ((U + U.T) > 0.5).astype(jnp.bfloat16)
+    )
 
     new_t = NoveltyTables(
         seen_pos=seen_pos,
-        seen_pairs=seen_pairs,
+        pair_table=pair_table,
         n=t.n,
         width=t.width,
         height=t.height,

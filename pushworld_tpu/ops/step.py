@@ -88,6 +88,74 @@ def step(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
     return state + disp[None, :] * moved[:, None].astype(jnp.int32)
 
 
+def _closure_from_agent(m: jax.Array, n: int) -> jax.Array:
+    """(B, N) bool: movables transitively pushed from the agent.
+    ``m``: (B, N, N) bool push relation."""
+    B = m.shape[0]
+    reach0 = np.zeros((n,), np.float32)
+    reach0[0] = 1.0
+    r = jnp.broadcast_to(jnp.asarray(reach0), (B, n))
+    mf = m.astype(jnp.float32)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        r = jnp.minimum(1.0, r + jnp.einsum("bi,bij->bj", r, mf))
+        mf = jnp.minimum(1.0, mf + jnp.einsum("bik,bkj->bij", mf, mf))
+    return r > 0.5
+
+
+def expand_children(
+    cp: CompiledPuzzle,
+    contacts: jax.Array,  # int32 (4, N, N, C, 2) rel offsets pos_i - pos_j
+    contacts_mask: jax.Array,  # bool (4, N, N, C)
+    parents: jax.Array,  # (B, N, 2) int32
+) -> jax.Array:
+    """All four children of every parent, in action-block order
+    ``[a=0 children..., a=1 children..., ...]`` — (4B, N, 2) int32.
+
+    TPU-first formulation of the push-propagation transition (reference
+    semantics pushworld_puzzle.cc:386-460): the per-pair push relation is
+    NOT gathered from the dense (4, N, N, K, K) table — XLA lowers that
+    400k-element gather to ~30 ns/element (measured: it dominated the whole
+    search iteration).  Instead the precomputed *contact lists* (the same
+    compaction the native planner uses, planner.cc Contact) are compared
+    against the batch's relative offsets with pure broadcast/compare/reduce
+    VPU ops, and the action dimension is handled by STATIC slicing — the
+    four action blocks each contract against their own contact table slice,
+    so no batched action index exists anywhere."""
+    B, N = parents.shape[0], cp.n
+    # Pack (rx, ry) into one int so each contact slot costs one compare.
+    # Offsets are bounded by |delta| <= K/2 << 2048.
+    cpack = jnp.where(
+        contacts_mask,
+        contacts[..., 0] * np.int32(4096) + contacts[..., 1],
+        np.int32(1 << 24),
+    )  # (4, N, N, C)
+    rel = parents[:, :, None, :] - parents[:, None, :, :]  # (B, N, N, 2)
+    rpack = rel[..., 0] * np.int32(4096) + rel[..., 1]  # (B, N, N)
+
+    flat = parents[..., 1] * cp.width + parents[..., 0]  # (B, N)
+    sb_flat = cp.static_block.reshape(4, N, cp.height * cp.width)
+
+    out = []
+    for a in range(4):
+        m = jnp.any(
+            rpack[:, :, :, None] == cpack[a][None], axis=-1
+        )  # (B, N, N)
+        pushed = _closure_from_agent(m, N)  # (B, N) includes agent
+        blocked = jnp.take_along_axis(
+            jnp.broadcast_to(sb_flat[a][None], (B, N, cp.height * cp.width)),
+            flat[:, :, None],
+            axis=2,
+        )[..., 0]  # (B, N)
+        nothing = blocked[:, 0] | jnp.any(
+            pushed[:, 1:] & blocked[:, 1:], axis=1
+        )
+        moved = pushed & ~nothing[:, None] & cp.obj_mask[None]
+        disp = np.array(DISPLACEMENTS[a])
+        out.append(parents + disp[None, None, :] * moved[:, :, None])
+    return jnp.concatenate(out, axis=0)
+
+
 # vmap over a batch of states of the same puzzle.
 step_batch = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
 

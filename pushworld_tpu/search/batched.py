@@ -23,6 +23,7 @@ The while-loop runs in fixed-size chunks so the host can enforce wall-clock
 budgets between chunks.
 """
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -50,15 +51,21 @@ from pushworld_tpu.ops.rgd import (
     rgd_heuristic,
     rgd_heuristic_with_flags,
 )
-from pushworld_tpu.ops.step import is_goal_state, step
+from pushworld_tpu.ops.step import expand_children, is_goal_state, step
 
 # Frontier priorities are int32 keys: novelty tier (2 bits) | clamped RGD
-# value (13 bits) | inverted recency (16 bits).  The recency bits make
+# value (13 bits) | inverted recency (15 bits).  The recency bits make
 # expansion LIFO within equal (novelty, rgd) buckets — the depth-first
 # plateau behavior of the reference's bucket priority queue
 # (reference: priority_queue.h:43-222, LIFO within equal priority) — which
 # batched expansion otherwise loses (breadth-flooding plateaus).
-EMPTY = 0x7FFFFFFF  # int32 sentinel for a free frontier slot
+#
+# Every key (and the EMPTY sentinel) is a positive int32 below 0x7F800000,
+# so its BIT PATTERN is a finite positive float32 and int ordering equals
+# float ordering after a bitcast — which lets frontier selection run on the
+# TPU's hardware approximate-top-k unit (jax.lax.approx_min_k) with exact
+# key semantics and no precision loss.
+EMPTY = 0x7F000000  # int32 sentinel for a free frontier slot
 NOVELTY_WEIGHT = 1e6  # kept for API parity in docs; priorities use the int key
 
 
@@ -69,10 +76,9 @@ class _EscalateDepth(Exception):
 def _priority(nov, rgd, hist_idx, use_novelty):
     """int32 search key; smaller = expanded earlier."""
     nov_i = nov.astype(jnp.int32) if use_novelty else jnp.ones_like(hist_idx)
-    # 8190 (not 8191): the all-ones key would collide with the EMPTY sentinel.
     rgd_i = jnp.clip(rgd, 0.0, 8190.0).astype(jnp.int32)
-    recency = jnp.bitwise_and(jnp.bitwise_not(hist_idx), np.int32(0xFFFF))
-    return (nov_i << np.int32(29)) | (rgd_i << np.int32(16)) | recency
+    recency = jnp.bitwise_and(jnp.bitwise_not(hist_idx), np.int32(0x7FFF))
+    return (nov_i << np.int32(28)) | (rgd_i << np.int32(15)) | recency
 
 
 from typing import NamedTuple
@@ -95,6 +101,7 @@ class SearchState:
     frontier_hist: jax.Array  # (F,) int32
     frontier_lo: jax.Array  # (F,) uint32 — fingerprints (for eviction deletes)
     frontier_hi: jax.Array  # (F,) uint32
+    ring_cursor: jax.Array  # int32 scalar — next append window offset
     hist_parent: jax.Array  # (Hcap,) int32
     hist_action: jax.Array  # (Hcap,) int32
     hist_cursor: jax.Array  # int32 scalar
@@ -119,6 +126,7 @@ jax.tree_util.register_dataclass(
         "frontier_hist",
         "frontier_lo",
         "frontier_hi",
+        "ring_cursor",
         "hist_parent",
         "hist_action",
         "hist_cursor",
@@ -175,6 +183,7 @@ def _init_state_jit(
         frontier_hist=jnp.zeros((F,), jnp.int32),
         frontier_lo=jnp.zeros((F,), jnp.uint32).at[0].set(lo[0]),
         frontier_hi=jnp.zeros((F,), jnp.uint32).at[0].set(hi[0]),
+        ring_cursor=jnp.int32(0),
         hist_parent=jnp.full((history_capacity,), -1, jnp.int32),
         hist_action=jnp.full((history_capacity,), -1, jnp.int32),
         hist_cursor=jnp.int32(1),
@@ -254,12 +263,13 @@ class BatchedPlanner:
         max_depth: int = 1,
         use_novelty: bool = True,
     ):
-        if frontier_capacity < expand:
-            # The sorted-merge in _iterate slices R = F - B survivors and
-            # bounds the eviction tail by 3B; both assume F >= B.
+        if frontier_capacity < 4 * expand or frontier_capacity % (4 * expand):
+            # The ring append writes contiguous 4*expand windows; the
+            # capacity must hold at least one window and divide evenly so
+            # windows never wrap.
             raise ValueError(
-                f"frontier_capacity ({frontier_capacity}) must be >= "
-                f"expand ({expand})"
+                f"frontier_capacity ({frontier_capacity}) must be a "
+                f"multiple of 4*expand ({4 * expand})"
             )
         self.puzzle = puzzle
         self.cp = cp if cp is not None else compile_puzzle(puzzle)
@@ -397,7 +407,7 @@ class BatchedPlanner:
                 escalate_depth
                 and n_deeper > 0
                 and self.max_depth < self.MAX_ESCALATED_DEPTH
-                and ((min_key >> 16) & 0x1FFF) >= 8190
+                and ((min_key >> 15) & 0x1FFF) >= 8190
             ):
                 raise _EscalateDepth
             if deadline is not None and time.monotonic() > deadline:
@@ -429,97 +439,77 @@ def _append_history(s: SearchState, cfg: SearchConfig, is_new, phist4, actions):
     return hist_parent, hist_action, hist_cursor, hist_idx
 
 
-def _merge_frontier(s: SearchState, B: int, h, children, hist_idx, lo, hi, visited):
-    """Merges the 4B scored children into the sorted frontier, keeping the
-    F best.  The selected B entries were consumed, so the survivors are the
-    (already sorted) slice [B:]; the 4B children are sorted once and
-    stable-merged via searchsorted rank computations — O((F + B) log B)
-    instead of a full top_k over F + 4B keys.  The merged arrays are built
-    with GATHERS, not scatters: XLA lowers TPU scatters to a serial
-    per-row loop, and scattering all F rows dominated the whole iteration
-    (measured 2x the remaining cost); gathers vectorize.  States evicted by
-    the capacity bound are DELETED from the visited set so they can be
-    re-generated later (the reference frontier is unbounded; without this,
-    an evicted state on the only path to the goal would be lost forever).
+def _append_frontier(s: SearchState, B: int, h, children, hist_idx, lo, hi, visited):
+    """Writes the 4B scored children into the ring window at the cursor.
 
-    Returns (new_states, new_h, new_hist, new_lo, new_hi, visited,
-    n_evicted)."""
+    The frontier is an UNSORTED ring buffer: insertion is one contiguous
+    ``dynamic_update_slice`` per array (the previous sorted-merge design
+    rebuilt all F rows with gathers every iteration, which dominated the
+    whole search iteration at large F), and the capacity policy is
+    age-based — the overwritten window holds the entries appended F/4B
+    iterations ago, which survived that many hardware top-k selections
+    without being expanded.  Overwritten entries that are still valid are
+    DELETED from the visited set so they can be re-generated later (the
+    reference frontier is unbounded; without this, an evicted state on the
+    only path to the goal would be lost forever).
+
+    Returns (new_states, new_h, new_hist, new_lo, new_hi, new_cursor,
+    visited, n_evicted)."""
+    nb = h.shape[0]  # 4B
+    c = s.ring_cursor
+
+    old_h = jax.lax.dynamic_slice(s.frontier_h, (c,), (nb,))
+    old_lo = jax.lax.dynamic_slice(s.frontier_lo, (c,), (nb,))
+    old_hi = jax.lax.dynamic_slice(s.frontier_hi, (c,), (nb,))
+    evicted = old_h < EMPTY
+    visited = probe_delete(visited, old_lo, old_hi, evicted)
+    n_evicted = jnp.sum(evicted.astype(jnp.int32))
+
+    new_h = jax.lax.dynamic_update_slice(s.frontier_h, h, (c,))
+    new_states = jax.lax.dynamic_update_slice(
+        s.frontier_states, children, (c, 0, 0)
+    )
+    new_hist = jax.lax.dynamic_update_slice(s.frontier_hist, hist_idx, (c,))
+    new_lo = jax.lax.dynamic_update_slice(s.frontier_lo, lo, (c,))
+    new_hi = jax.lax.dynamic_update_slice(s.frontier_hi, hi, (c,))
     F = s.frontier_h.shape[0]
-    R = F - B  # surviving frontier entries
-    rest_h = s.frontier_h[B:]
-    ord_ = jnp.argsort(h)
-    ch_h = h[ord_]
+    new_cursor = jax.lax.rem(c + nb, F)
+    return new_states, new_h, new_hist, new_lo, new_hi, new_cursor, visited, n_evicted
 
-    # Stable-merge ranks: equal keys place survivors before children.
-    pos_ch = jnp.searchsorted(
-        rest_h, ch_h, side="right", method="compare_all"
-    ) + jnp.arange(4 * B, dtype=jnp.int32)
-    # Gather formulation: the two rank arrays jointly cover the merged
-    # range 0..R+4B-1 exactly once (standard stable merge ranks), so
-    # output slot j holds sorted-child c-1 when pos_ch contains j
-    # (c = #children placed at slots <= j), else survivor j - c.
-    # EMPTY slots need no special casing — free survivor slots and
-    # non-new children carry EMPTY keys as ordinary elements.
-    out_j = jnp.arange(F, dtype=jnp.int32)
-    c_j = jnp.searchsorted(
-        pos_ch, out_j, side="right", method="compare_all"
-    ).astype(jnp.int32)
-    is_child = (c_j > 0) & (pos_ch[jnp.maximum(c_j - 1, 0)] == out_j)
-    idx_ch = ord_[jnp.maximum(c_j - 1, 0)]  # into the UNSORTED children
-    rest_take = jnp.clip(out_j - c_j, 0, R - 1)
 
-    def merged(ch_vals, rest_vals):
-        take = jnp.where(is_child, idx_ch, 0)
-        keep = jnp.where(is_child, 0, rest_take)
-        cond = is_child
-        if ch_vals.ndim > 1:
-            cond = cond.reshape((F,) + (1,) * (ch_vals.ndim - 1))
-        return jnp.where(cond, ch_vals[take], rest_vals[keep])
+def _select_frontier(s: SearchState, B: int):
+    """Picks the B best frontier entries with the TPU's hardware
+    approximate-top-k unit (keys bitcast to float32 — exact ordering, see
+    the key-layout comment at EMPTY) and frees their slots.
 
-    new_h = merged(h, rest_h)
-    new_states = merged(children, s.frontier_states[B:])
-    new_hist = merged(hist_idx, s.frontier_hist[B:])
-    new_lo = merged(lo, s.frontier_lo[B:])
-    new_hi = merged(hi, s.frontier_hi[B:])
-
-    # Evictions: merged positions >= F.  At most 3B survivors can be
-    # pushed past F (merged length is F + 3B), and they are the worst
-    # (last) survivors, so only the tail needs un-visiting.
-    tail = max(0, R - 3 * B)
-    rest_h_tail = rest_h[tail:]
-    pos_rest_tail = jnp.searchsorted(
-        ch_h, rest_h_tail, side="left", method="compare_all"
-    ) + jnp.arange(tail, R, dtype=jnp.int32)
-    ev_rest = (pos_rest_tail >= F) & (rest_h_tail < EMPTY)
-    ev_ch = (pos_ch >= F) & (ch_h < EMPTY)
-    visited = probe_delete(
-        visited, s.frontier_lo[B + tail :], s.frontier_hi[B + tail :], ev_rest
+    Returns (parents, parent_hist, sel_valid, frontier_h)."""
+    kf = jax.lax.bitcast_convert_type(s.frontier_h, jnp.float32)
+    _, idx = jax.lax.approx_min_k(kf, B)
+    sel_valid = s.frontier_h[idx] < EMPTY
+    parents = s.frontier_states[idx]
+    parent_hist = s.frontier_hist[idx]
+    frontier_h = s.frontier_h.at[idx].set(
+        jnp.where(sel_valid, EMPTY, s.frontier_h[idx])
     )
-    visited = probe_delete(visited, lo[ord_], hi[ord_], ev_ch)
-    n_evicted = jnp.sum(ev_rest.astype(jnp.int32)) + jnp.sum(
-        ev_ch.astype(jnp.int32)
-    )
-    return new_states, new_h, new_hist, new_lo, new_hi, visited, n_evicted
+    return parents, parent_hist, sel_valid, frontier_h
 
 
 def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         B, N = cfg.expand, cp.n
         F = s.frontier_h.shape[0]
 
-        # 1. select the B best frontier entries.  INVARIANT: the frontier
-        # arrays are kept sorted ascending by key (EMPTY slots at the end,
-        # established by _init_state_jit and restored by the merge below),
-        # so selection is a slice — no top_k needed.
-        sel_valid = s.frontier_h[:B] < EMPTY  # occupied slots only
-        parents = s.frontier_states[:B]  # (B, N, 2)
-        parent_hist = s.frontier_hist[:B]  # (B,)
+        # 1. select the B best frontier entries (hardware approx top-k over
+        # the unsorted ring; selected slots are freed).
+        parents, parent_hist, sel_valid, sel_frontier_h = _select_frontier(s, B)
+        s = dataclasses.replace(s, frontier_h=sel_frontier_h)
 
-        # 2. expand all 4 actions.
+        # 2. expand all 4 actions (action-block order, static per-action
+        # contact-table slices — no gathers; see ops.step.expand_children).
         actions = jnp.asarray(np.repeat(np.arange(4, dtype=np.int32), B))
         par4 = jnp.tile(parents, (4, 1, 1))  # (4B, N, 2)
         phist4 = jnp.tile(parent_hist, (4,))
         pvalid4 = jnp.tile(sel_valid, (4,))
-        children = jax.vmap(step, in_axes=(None, 0, 0))(cp, par4, actions)
+        children = expand_children(cp, t.contacts, t.contacts_mask, parents)
         moved = jnp.any(children != par4, axis=-1)  # (4B, N)
         effective = jnp.any(moved, axis=-1) & pvalid4  # no-op moves are dups
 
@@ -551,22 +541,24 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
         h = jnp.where(is_new, h, np.int32(EMPTY))
         n_deeper = jnp.sum((deeper_flag & is_new).astype(jnp.int32))
 
-        # 7. merge into the frontier (keep the F best).
+        # 7. append into the ring frontier (age-based eviction).
         (
             new_states,
             new_h,
             new_hist,
             new_lo,
             new_hi,
+            new_cursor,
             visited,
             n_evicted,
-        ) = _merge_frontier(s, B, h, children, hist_idx, lo, hi, visited)
+        ) = _append_frontier(s, B, h, children, hist_idx, lo, hi, visited)
         return SearchState(
             frontier_states=new_states,
             frontier_h=new_h,
             frontier_hist=new_hist,
             frontier_lo=new_lo,
             frontier_hi=new_hi,
+            ring_cursor=new_cursor,
             hist_parent=hist_parent,
             hist_action=hist_action,
             hist_cursor=hist_cursor,

@@ -304,6 +304,27 @@ def plan_puzzles_fleet(
         native_workers = max(1, os.cpu_count() or 1)
     _reset_device_stats()
 
+    # HARD-FIRST queue order: host workers pop from the front, so the
+    # instances that will burn their full budget start as early as possible
+    # (they dominate the fleet wall-clock); the device claims groups from
+    # the BACK — the easiest unclaimed instances, which its batched search
+    # can finish within budget.  (The round-2 policy was the inverse: the
+    # device held the hardest instances to their deadlines and solved none.)
+    # Difficulty proxy: benchmark level prefix, then movable count, then
+    # grid area.
+    def _difficulty(item):
+        name, p = item
+        lvl = 0
+        head = name.split("/", 1)[0]
+        if head.startswith("level"):
+            try:
+                lvl = int(head[5:])
+            except ValueError:
+                pass
+        return (lvl, p.num_movables, p.height * p.width)
+
+    named_puzzles = sorted(named_puzzles, key=_difficulty, reverse=True)
+
     try:
         from pushworld_tpu.native import bridge
 

@@ -92,8 +92,9 @@ ORIG = dict(
     dedup_batch=B.dedup_batch,
     fingerprint=B.fingerprint,
     step=B.step,
+    expand_children=B.expand_children,
     is_goal_state=B.is_goal_state,
-    _merge_frontier=B._merge_frontier,
+    _append_frontier=B._append_frontier,
     _append_history=B._append_history,
 )
 
@@ -116,7 +117,8 @@ def _stub_merge(s, Bx, h, children, hist_idx, lo, hi, visited):
     new_hist = jnp.roll(s.frontier_hist, -nb).at[-nb:].set(hist_idx)
     new_lo = jnp.roll(s.frontier_lo, -nb).at[-nb:].set(lo)
     new_hi = jnp.roll(s.frontier_hi, -nb).at[-nb:].set(hi)
-    return new_states, new_h, new_hist, new_lo, new_hi, visited, jnp.int32(0)
+    return (new_states, new_h, new_hist, new_lo, new_hi, s.ring_cursor,
+            visited, jnp.int32(0))
 
 
 def _stub_history(s, cfg, is_new, phist4, actions):
@@ -129,6 +131,15 @@ def _stub_step(cp, state, action):
 
     disp = jnp.asarray(_np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], _np.int32))
     return state + disp[action][None, :]
+
+
+def _stub_expand(cp, contacts, contacts_mask, parents):
+    import numpy as _np
+
+    disp = jnp.asarray(_np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], _np.int32))
+    return jnp.concatenate(
+        [parents + disp[a][None, None, :] for a in range(4)], axis=0
+    )
 
 
 def _vec_step(cp, state, action):
@@ -204,7 +215,7 @@ VARIANTS = {
         "rgd_heuristic": _stub_rgd,
         "rgd_heuristic_with_flags": _stub_rgd_flags,
         "novelty_score_and_update": _stub_novelty,
-        "_merge_frontier": _stub_merge,
+        "_append_frontier": _stub_merge,
     },
     "bk_no_history": {
         "rgd_heuristic": _stub_rgd,
@@ -216,7 +227,7 @@ VARIANTS = {
         "rgd_heuristic": _stub_rgd,
         "rgd_heuristic_with_flags": _stub_rgd_flags,
         "novelty_score_and_update": _stub_novelty,
-        "step": _stub_step,
+        "expand_children": _stub_expand,
     },
     "bk_no_hashset": {
         "rgd_heuristic": _stub_rgd,

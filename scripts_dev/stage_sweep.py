@@ -32,12 +32,19 @@ OUT = os.environ.get("PW_OUT") or os.path.join(
 with open(os.environ["PW_ONLY"]) as f:
     keys = [line.strip() for line in f if line.strip()]
 
-CONFIGS = [
-    (mode, queue, seed)
-    for mode in ("N+RGD", "RGD")
-    for queue in ("lifo", "fifo")
-    for seed in range(4)
-]
+if os.environ.get("PW_CONFIGS"):
+    # "mode:queue:seed,mode:queue:seed,..." — queue may carry +lazy/+prune.
+    CONFIGS = [
+        (m, q, int(s))
+        for m, q, s in (c.split(":") for c in os.environ["PW_CONFIGS"].split(","))
+    ]
+else:
+    CONFIGS = [
+        (mode, queue, seed)
+        for mode in ("N+RGD", "RGD")
+        for queue in ("lifo", "fifo")
+        for seed in range(4)
+    ]
 
 done = set()
 if os.path.exists(OUT):

@@ -110,3 +110,41 @@ def test_multi_puzzle_batch(puzzles_dir):
         for i, p in enumerate(puzzles):
             assert goals[i] == p.count_achieved_goals(host_states[i])
             assert bool(is_goal[i]) == p.is_goal_state(host_states[i])
+
+
+@pytest.mark.parametrize("name", ALL_FIXTURES)
+def test_expand_children_matches_step(puzzles_dir, name):
+    """The gather-free 4-action expansion must equal the per-action step
+    kernel on random reachable states (reached by random walks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.ops.rgd import build_rgd_tables
+    from pushworld_tpu.ops.step import expand_children, step
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+    cp = compile_puzzle(puzzle, n_pad=puzzle.num_movables + 2)
+    t = build_rgd_tables(puzzle, cp, max_depth=1)
+
+    rng = np.random.RandomState(7)
+    states = [puzzle.initial_state]
+    s = puzzle.initial_state
+    for a in rng.randint(0, NUM_ACTIONS, size=40):
+        s = puzzle.get_next_state(s, a)
+        states.append(s)
+    B = len(states)
+    parents = np.zeros((B, cp.n, 2), np.int32)
+    for b, st in enumerate(states):
+        parents[b, : puzzle.num_movables] = np.array(st, np.int32)
+
+    children = np.asarray(
+        expand_children(cp, t.contacts, t.contacts_mask, jnp.asarray(parents))
+    )
+    par4 = np.tile(parents, (4, 1, 1))
+    actions = np.repeat(np.arange(4, dtype=np.int32), B)
+    expected = np.asarray(
+        jax.vmap(step, in_axes=(None, 0, 0))(
+            cp, jnp.asarray(par4), jnp.asarray(actions)
+        )
+    )
+    np.testing.assert_array_equal(children, expected, err_msg=name)
