@@ -173,14 +173,22 @@ def solve_native(
 # - RGD: 11 round-2 wins; the slowest ("Precision Tooling") needed 20.1 s
 #   of RGD time => 0.36 (21.6 s).
 # - N+RGD lifo seed1 (last; absorbs all remaining wall): its 3 round-2
-#   wins needed <= 2.7 s; remainder is ~12 s.
+#   wins needed <= 2.7 s; remainder is ~7 s.
+# - lifo+lazy seeds 0/1 (round-3 style sweep over the 51 round-3 misses,
+#   scripts_dev/style_sweep_12s.jsonl): deferred evaluation cracks
+#   "Moveable H Obstacle" (0.2 s), "Cubism" (1.9 s), "Mouse Hole"
+#   (0.8 s); no other new style (prune, fifo+lazy, RGD+lazy) cracked any
+#   miss within 10 s => lazy0 0.06 (3.6 s), lazy1 0.03 (1.8 s), taken
+#   from the final absorber stage.
 STAGES_DEFAULT = (
     ("N+RGD", "lifo", 0, 0.18),
+    ("N+RGD", "lifo+lazy", 0, 0.06),
+    ("N+RGD", "lifo+lazy", 1, 0.03),
     ("N+RGD", "lifo", 3, 0.03),
     ("N+RGD", "fifo", 3, 0.11),
     ("N+RGD", "lifo", 2, 0.11),
     ("RGD", "lifo", 0, 0.36),
-    ("N+RGD", "lifo", 1, 0.21),
+    ("N+RGD", "lifo", 1, 0.12),
 )
 
 

@@ -59,7 +59,7 @@ class RGDTables:
     doff: jax.Array  # int32 (rows,) start offset of object o's block in Dflat
     dstride: jax.Array  # int32 (rows,) R_o (row stride of object o's block)
     DG: jax.Array  # f32 (N, H, W) distance-to-goal fields (goal rows only)
-    contacts: jax.Array  # int32 (4, N, N, C, 2) rel offsets (rx, ry)
+    contacts: jax.Array  # int16 (4, N, N, C, 2) rel offsets (rx, ry)
     contacts_mask: jax.Array  # bool (4, N, N, C)
     # Agent-row (pusher = 0) contacts compacted to their own, much smaller
     # pad: the depth-0 pushing cost (the hot path of every heuristic call)
@@ -67,7 +67,7 @@ class RGDTables:
     # 4-16x shorter than the bucket-wide pairwise max on the published
     # benchmark — padding them to the pairwise cap made the depth-0 gather
     # volume (B x goals x C x 4) dominate the whole search iteration.
-    contacts_a: jax.Array  # int32 (4, N, Ca, 2)
+    contacts_a: jax.Array  # int16 (4, N, Ca, 2)
     contacts_a_mask: jax.Array  # bool (4, N, Ca)
     # Fused depth-0 contact table: cvidx_a[a, o, p_flat, c] is the AGENT
     # graph's compact vertex index of contact cell p + contacts_a[a, o, c]
@@ -76,7 +76,7 @@ class RGDTables:
     # and vidx gather of the depth-0 pushing cost into ONE gather, leaving
     # exactly two gathers (cvidx_a, Dflat) per (state, contact) on the
     # hottest path of the batched search.
-    cvidx_a: jax.Array  # int32 (4, N, HW, Ca)
+    cvidx_a: jax.Array  # int16 (4, N, HW, Ca) — vertex ids < HW <= 32767
     goal_pos: jax.Array  # int32 (N, 2)
     goal_mask: jax.Array  # bool (N,)
     n_real: jax.Array  # int32 scalar — actual number of movables
@@ -226,7 +226,7 @@ def build_rgd_tables(
         if cmax_pad < cmax:
             raise ValueError(f"cmax_pad={cmax_pad} < required {cmax}")
         cmax = cmax_pad
-    contacts = np.zeros((4, N, N, cmax, 2), np.int32)
+    contacts = np.zeros((4, N, N, cmax, 2), np.int16)
     contacts_mask = np.zeros((4, N, N, cmax), bool)
     for a in range(4):
         for q in range(N):
@@ -246,7 +246,7 @@ def build_rgd_tables(
                 f"cmax_agent_pad={cmax_agent_pad} < required {cmax_agent}"
             )
         cmax_agent = cmax_agent_pad
-    contacts_a = np.zeros((4, N, cmax_agent, 2), np.int32)
+    contacts_a = np.zeros((4, N, cmax_agent, 2), np.int16)
     contacts_a_mask = np.zeros((4, N, cmax_agent), bool)
     for a in range(4):
         for o in range(N):
@@ -262,7 +262,7 @@ def build_rgd_tables(
     # feasible, else -1; shifting it by each contact offset turns the
     # per-contact (E gather + bounds mask + vidx gather) into one table.
     vidx0 = vidx[0].reshape(H, W)
-    cvidx_a = np.full((4, N, HW, cmax_agent), -1, np.int32)
+    cvidx_a = np.full((4, N, HW, cmax_agent), -1, np.int16)
     ys_g, xs_g = np.mgrid[0:H, 0:W]
     for a in range(4):
         vidx0_e = np.where(E_np[a, 0], vidx0, -1)  # (H, W)

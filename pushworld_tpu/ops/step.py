@@ -125,6 +125,7 @@ def expand_children(
     B, N = parents.shape[0], cp.n
     # Pack (rx, ry) into one int so each contact slot costs one compare.
     # Offsets are bounded by |delta| <= K/2 << 2048.
+    contacts = contacts.astype(jnp.int32)  # int16 storage; widen for packing
     cpack = jnp.where(
         contacts_mask,
         contacts[..., 0] * np.int32(4096) + contacts[..., 1],

@@ -183,7 +183,7 @@ def _init_state_jit(
         frontier_hist=jnp.zeros((F,), jnp.int32),
         frontier_lo=jnp.zeros((F,), jnp.uint32).at[0].set(lo[0]),
         frontier_hi=jnp.zeros((F,), jnp.uint32).at[0].set(hi[0]),
-        ring_cursor=jnp.int32(0),
+        ring_cursor=jnp.int32(1),  # slot 0 holds the initial state
         hist_parent=jnp.full((history_capacity,), -1, jnp.int32),
         hist_action=jnp.full((history_capacity,), -1, jnp.int32),
         hist_cursor=jnp.int32(1),
@@ -263,13 +263,12 @@ class BatchedPlanner:
         max_depth: int = 1,
         use_novelty: bool = True,
     ):
-        if frontier_capacity < 4 * expand or frontier_capacity % (4 * expand):
-            # The ring append writes contiguous 4*expand windows; the
-            # capacity must hold at least one window and divide evenly so
-            # windows never wrap.
+        if frontier_capacity < 8 * expand:
+            # The compacting ring needs room for at least two append
+            # windows so a compaction always leaves space for the next one.
             raise ValueError(
-                f"frontier_capacity ({frontier_capacity}) must be a "
-                f"multiple of 4*expand ({4 * expand})"
+                f"frontier_capacity ({frontier_capacity}) must be >= "
+                f"8*expand ({8 * expand})"
             )
         self.puzzle = puzzle
         self.cp = cp if cp is not None else compile_puzzle(puzzle)
@@ -440,41 +439,66 @@ def _append_history(s: SearchState, cfg: SearchConfig, is_new, phist4, actions):
 
 
 def _append_frontier(s: SearchState, B: int, h, children, hist_idx, lo, hi, visited):
-    """Writes the 4B scored children into the ring window at the cursor.
+    """Writes the 4B scored children into free space at the append cursor.
 
-    The frontier is an UNSORTED ring buffer: insertion is one contiguous
-    ``dynamic_update_slice`` per array (the previous sorted-merge design
-    rebuilt all F rows with gathers every iteration, which dominated the
-    whole search iteration at large F), and the capacity policy is
-    age-based — the overwritten window holds the entries appended F/4B
-    iterations ago, which survived that many hardware top-k selections
-    without being expanded.  Overwritten entries that are still valid are
-    DELETED from the visited set so they can be re-generated later (the
-    reference frontier is unbounded; without this, an evicted state on the
-    only path to the goal would be lost forever).
+    The frontier is a COMPACTING ring: the region at and beyond the cursor
+    is always EMPTY (holes before the cursor come only from selection,
+    which frees slots), so an append is one contiguous
+    ``dynamic_update_slice`` per array and never evicts anything.  When the
+    next window would overflow the capacity, ONE sort-compaction gathers
+    the valid entries to the front in key order, reclaims every hole, and
+    — only if the frontier is genuinely over the keep-bound — drops the
+    WORST tail (the previous sorted-merge design paid that full-F gather
+    rebuild every iteration; here it amortizes over the ~F/4 appends
+    between compactions).  Dropped entries are DELETED from the visited
+    set so they can be re-generated later (the reference frontier is
+    unbounded; without this, an evicted state on the only path to the goal
+    would be lost forever) — and because drops happen only when the
+    frontier is truly over capacity, an eviction-free exhaustion remains a
+    complete no-solution proof.
 
     Returns (new_states, new_h, new_hist, new_lo, new_hi, new_cursor,
     visited, n_evicted)."""
     nb = h.shape[0]  # 4B
-    c = s.ring_cursor
-
-    old_h = jax.lax.dynamic_slice(s.frontier_h, (c,), (nb,))
-    old_lo = jax.lax.dynamic_slice(s.frontier_lo, (c,), (nb,))
-    old_hi = jax.lax.dynamic_slice(s.frontier_hi, (c,), (nb,))
-    evicted = old_h < EMPTY
-    visited = probe_delete(visited, old_lo, old_hi, evicted)
-    n_evicted = jnp.sum(evicted.astype(jnp.int32))
-
-    new_h = jax.lax.dynamic_update_slice(s.frontier_h, h, (c,))
-    new_states = jax.lax.dynamic_update_slice(
-        s.frontier_states, children, (c, 0, 0)
-    )
-    new_hist = jax.lax.dynamic_update_slice(s.frontier_hist, hist_idx, (c,))
-    new_lo = jax.lax.dynamic_update_slice(s.frontier_lo, lo, (c,))
-    new_hi = jax.lax.dynamic_update_slice(s.frontier_hi, hi, (c,))
     F = s.frontier_h.shape[0]
-    new_cursor = jax.lax.rem(c + nb, F)
-    return new_states, new_h, new_hist, new_lo, new_hi, new_cursor, visited, n_evicted
+    keep = F - max(nb, F // 4)  # best entries retained by an over-full compact
+
+    def compact(args):
+        fh, fstates, fhist, flo, fhi, vis = args
+        order = jnp.argsort(fh)  # ascending; EMPTY slots sort last
+        fh = fh[order]
+        fstates = fstates[order]
+        fhist = fhist[order]
+        flo = flo[order]
+        fhi = fhi[order]
+        n_valid = jnp.sum((fh < EMPTY).astype(jnp.int32))
+        # Over-capacity tail: worst-first eviction + un-visit.
+        drop = (fh < EMPTY) & (jnp.arange(F, dtype=jnp.int32) >= keep)
+        vis = probe_delete(vis, flo, fhi, drop)
+        fh = jnp.where(drop, np.int32(EMPTY), fh)
+        n_evicted = jnp.sum(drop.astype(jnp.int32))
+        cursor = jnp.minimum(n_valid, keep).astype(jnp.int32)
+        return fh, fstates, fhist, flo, fhi, vis, cursor, n_evicted
+
+    def no_compact(args):
+        fh, fstates, fhist, flo, fhi, vis = args
+        return (fh, fstates, fhist, flo, fhi, vis, s.ring_cursor,
+                jnp.int32(0))
+
+    fh, fstates, fhist, flo, fhi, visited, c, n_evicted = jax.lax.cond(
+        s.ring_cursor + nb > F,
+        compact,
+        no_compact,
+        (s.frontier_h, s.frontier_states, s.frontier_hist, s.frontier_lo,
+         s.frontier_hi, visited),
+    )
+
+    new_h = jax.lax.dynamic_update_slice(fh, h, (c,))
+    new_states = jax.lax.dynamic_update_slice(fstates, children, (c, 0, 0))
+    new_hist = jax.lax.dynamic_update_slice(fhist, hist_idx, (c,))
+    new_lo = jax.lax.dynamic_update_slice(flo, lo, (c,))
+    new_hi = jax.lax.dynamic_update_slice(fhi, hi, (c,))
+    return new_states, new_h, new_hist, new_lo, new_hi, c + nb, visited, n_evicted
 
 
 def _select_frontier(s: SearchState, B: int):

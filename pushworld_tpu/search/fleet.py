@@ -141,14 +141,15 @@ def _device_multiplex(
             + rows * hw * 4  # vidx
             + 4 * n_pad * hw  # E (bool)
             + n_pad * hw * 4  # DG
-            + 4 * n_pad * hw * cagent * 4  # cvidx_a (int32)
-            + 4 * n_pad * n_pad * cmax * 2 * 4  # contacts (int32)
+            + 4 * n_pad * hw * cagent * 2  # cvidx_a (int16)
+            + 4 * n_pad * n_pad * cmax * 2 * 2  # contacts (int16)
             + 4 * n_pad * n_pad * cmax  # contacts_mask (bool)
-            + 4 * n_pad * cagent * (2 * 4 + 1)  # contacts_a + mask
+            + 4 * n_pad * cagent * (2 * 2 + 1)  # contacts_a + mask
             + 2 * 4 * history_capacity  # hist_parent + hist_action
             + frontier_capacity * (n_pad * 2 + 4) * 4  # frontier arrays
             + (1 << visited_bits) * 8  # visited hash set
-            + n_pad * hw  # novelty position table (bitset-ish bound)
+            + n_pad * hw  # novelty position table
+            + (1 << 12) * (1 << 12) * 2  # novelty pair table (S x S bf16)
         )
         wave = max(1, min(len(sub), int(table_budget // max(bytes_per_lane, 1))))
 
@@ -193,6 +194,24 @@ def _device_multiplex(
                         "t0": None,
                         "deadline": None,
                     }
+                )
+
+            if lanes:
+                # Warm the group's SHARED compiled program before any lane's
+                # budget clock starts: lanes of a group run one program, so
+                # a single 1-iteration chunk pays the whole group's compile
+                # cost up front (otherwise the first lane's deadline absorbs
+                # minutes of XLA compile while the other lanes' clocks run).
+                import numpy as _np2
+
+                from pushworld_tpu.search.batched import (
+                    run_chunk as _rc,
+                    search_status as _ss,
+                )
+
+                pl0 = lanes[0]["planner"]
+                _np2.asarray(
+                    _ss(_rc(pl0.cp, pl0.tables, pl0.config, pl0.init_state(), 1))
                 )
 
             while lanes:
