@@ -195,6 +195,14 @@ def _device_multiplex(
                         "deadline": None,
                     }
                 )
+                if coordination is not None:
+                    # Register BEFORE the group's warm-up compile: XLA
+                    # compiles take minutes on this toolchain, and idle
+                    # host workers must be able to steal queued lanes
+                    # during them (deadline None = the stealer gets the
+                    # full per-puzzle budget).
+                    with coordination["lock"]:
+                        coordination["lanes"][name] = (p, None)
 
             if lanes:
                 # Warm the group's SHARED compiled program before any lane's
