@@ -70,11 +70,11 @@ from pushworld_tpu.search.batched import SearchState
 AXIS = "shard"
 
 
-def _shard_iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
+def _shard_iterate(cp, t, cfg: SearchConfig, s: SearchState, axis: str = AXIS) -> SearchState:
     """One distributed iteration; runs per shard inside shard_map."""
     B, N = cfg.expand, cp.n
-    D = jax.lax.psum(1, AXIS)
-    me = jax.lax.axis_index(AXIS)
+    D = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
     Hcap = cfg.history_capacity
     C = 4 * B  # per-destination bucket: total children, so never dropped
 
@@ -130,7 +130,7 @@ def _shard_iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
     snd_valid = in_run
 
     a2a = lambda x: jax.lax.all_to_all(
-        x, AXIS, split_axis=0, concat_axis=0, tiled=True
+        x, axis, split_axis=0, concat_axis=0, tiled=True
     )
     rcv_states = a2a(snd_states).reshape(D * C, N, 2)
     rcv_lo = a2a(snd_lo).reshape(D * C)
@@ -162,7 +162,7 @@ def _shard_iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
     my_gid = me * Hcap + hist_idx[first_goal]
     # Smallest solving gid wins globally (deterministic across shards).
     cand = jnp.where(any_goal_local, my_gid, jnp.int32(0x7FFFFFFF))
-    best = jax.lax.pmin(cand, AXIS)
+    best = jax.lax.pmin(cand, axis)
     solved_now = best < 0x7FFFFFFF
     solved = s.solved | solved_now
     solved_hist = jnp.where(
@@ -203,21 +203,22 @@ def _shard_iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
 
 
 def _make_run_chunk(mesh: Mesh, cp, tables, cfg: SearchConfig, chunk: int):
-    state_spec = P(AXIS)
+    axis = mesh.axis_names[0]
+    state_spec = P(axis)
 
     def body_fn(cp_, t_, s: SearchState) -> SearchState:
         s = jax.tree_util.tree_map(lambda x: x[0], s)  # drop lead dev axis
 
         def body(i, s):
-            solved_any = jax.lax.pmax(s.solved.astype(jnp.int32), AXIS) > 0
-            gmin = jax.lax.pmin(jnp.min(s.frontier_h), AXIS)
+            solved_any = jax.lax.pmax(s.solved.astype(jnp.int32), axis) > 0
+            gmin = jax.lax.pmin(jnp.min(s.frontier_h), axis)
             hist_ok = (
-                jax.lax.pmin(s.hist_cursor, AXIS)
+                jax.lax.pmin(s.hist_cursor, axis)
                 < cfg.history_capacity - 8 * cfg.expand * mesh.size
             )
             active = (~solved_any) & (gmin < EMPTY) & hist_ok
             return jax.lax.cond(
-                active, lambda s: _shard_iterate(cp_, t_, cfg, s), lambda s: s, s
+                active, lambda s: _shard_iterate(cp_, t_, cfg, s, axis), lambda s: s, s
             )
 
         s = jax.lax.fori_loop(0, chunk, body, s)
@@ -264,8 +265,13 @@ def solve_frontier_sharded(
     D = mesh.size
     if max_depth is None:
         max_depth = required_depth(puzzle)
-    if frontier_capacity < 8 * expand:
-        raise ValueError("frontier_capacity must be >= 8*expand (per shard)")
+    if frontier_capacity < 8 * expand * D:
+        # A shard's append window holds the RECEIVED candidates:
+        # 4*expand children from every one of the D shards.
+        raise ValueError(
+            f"frontier_capacity ({frontier_capacity}) must be >= "
+            f"8*expand*n_shards ({8 * expand * D}) per shard"
+        )
 
     cp = compile_puzzle(puzzle)
     tables = build_rgd_tables(puzzle, cp, max_depth=max_depth)
@@ -327,7 +333,7 @@ def solve_frontier_sharded(
         )
     stack = lambda trees: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
     states = stack(shard_states)
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     states = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), states)
 
     run = _make_run_chunk(mesh, cp, tables, cfg, chunk)
