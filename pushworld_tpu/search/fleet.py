@@ -156,6 +156,10 @@ def _device_multiplex(
         for w0 in range(0, len(sub), wave):
             lanes = []
             for name, p, cp in sub[w0 : w0 + wave]:
+                if coordination is not None:
+                    with coordination["lock"]:
+                        if name in coordination["stolen"]:
+                            continue  # a host worker owns it already
                 tb0 = time.monotonic()
                 tables = build_rgd_tables(
                     p,
@@ -400,9 +404,13 @@ def plan_puzzles_fleet(
                     name, puzzle = dq.popleft()
                 elif use_device and coordination["lanes"]:
                     # Steal an unfinished device lane: finish it natively
-                    # within its remaining budget.
+                    # within its remaining budget.  Prefer lanes the device
+                    # has NOT started running (deadline None — queued
+                    # behind another group's compile) over active ones.
+                    items = coordination["lanes"].items()
                     name, (puzzle, deadline) = next(
-                        iter(coordination["lanes"].items())
+                        ((n, v) for n, v in items if v[1] is None),
+                        next(iter(items)),
                     )
                     del coordination["lanes"][name]
                     coordination["stolen"].add(name)
@@ -477,6 +485,12 @@ def plan_puzzles_fleet(
                     continue
                 group = [dq.pop() for _ in range(min(group_size, avail))]
                 coordination["pending"] += len(group)
+                # Register the WHOLE claim immediately: instances in later
+                # shape-groups/waves would otherwise be unstealable while
+                # earlier groups compile and run (host workers would
+                # spin-wait on "pending" for minutes).
+                for g_name, g_puzzle in group:
+                    coordination["lanes"][g_name] = (g_puzzle, None)
             group.reverse()
             processed = set()
             try:
