@@ -129,6 +129,12 @@ def _device_multiplex(
         )
 
     for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
+        if coordination is not None and (depth > 0 or dflat > (1 << 20)):
+            # Deep-RGD / huge-distance-table groups compile their own
+            # (slow, rarely reused) programs and are exactly the instances
+            # the native planner handles better: leave them registered for
+            # host stealing instead of paying the compile.
+            continue
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
         # Per-lane footprint: EVERY RGDTables tensor (packed distances,

@@ -56,8 +56,16 @@ _CMAX_LADDER = [p[3] for p in _PROFILES]
 # Agent-row contact-list pads (the depth-0 RGD hot path gathers only agent
 # contacts; the benchmark's agent rows max out at 38 while pairwise rows
 # reach 59 — separating the pads cuts the dominant gather volume 4-16x).
-_CMAX_AGENT_LADDER = [8, 16, 40]
-_GOALS_LADDER = [1, 2, 4, 8, 16]
+# Single rung: every distinct (cagent, goals, ...) rung is its own compiled
+# program (minutes on the axon toolchain); the benchmark's stratified set
+# measured FIFTEEN distinct compile keys under the previous finer ladders,
+# and the fleet's wall-clock was dominated by compiles.  The iteration-cost
+# profile was taken at cagent=40 (the worst rung), so padding everything
+# there costs nothing that wasn't already measured; goals pad to {1, 4, 16}
+# (the per-goal RGD loop is the one cost that scales with the pad, and
+# single-goal instances — the majority — keep the exact rung).
+_CMAX_AGENT_LADDER = [40]
+_GOALS_LADDER = [1, 4, 16]
 # Packed compact-distance buffer capacities (entries).  The published
 # benchmark's worst puzzle needs ~30M entries (60 MB uint16); the typical
 # hard instance needs <= ~9M.
