@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from pushworld_tpu.core.compiled import CompiledPuzzle
-from pushworld_tpu.ops.step import count_achieved_goals, is_goal_state, step
+from pushworld_tpu.ops.step import (
+    build_contact_lists,
+    count_achieved_goals,
+    expand_children,
+    is_goal_state,
+    step,
+)
 
 TERMINAL_REWARD = 10.0
 STEP_PENALTY = 0.01
@@ -64,6 +70,14 @@ class VectorEnv:
         self.puzzles = puzzles
         self.max_steps = max_steps
         self.num_puzzles = 1 if self._single else int(jnp.asarray(puzzles.init_state).shape[0])
+        # Single-puzzle batches step through the gather-free 4-action
+        # expansion + per-env action select (the dense push-table gather
+        # XLA lowers at ~30 ns/element dominated the step; see
+        # ops.step.expand_children).
+        if self._single:
+            c, m = build_contact_lists(puzzles)
+            self._contacts = jnp.asarray(c)
+            self._contacts_mask = jnp.asarray(m)
 
     def _gather_puzzle(self, idx: jax.Array) -> CompiledPuzzle:
         if self._single:
@@ -102,7 +116,16 @@ class VectorEnv:
         reward reflect the pre-reset transition).
         """
         cp = self._gather_puzzle(state.puzzle_idx)
-        next_pos = (jax.vmap(step, in_axes=(None, 0, 0)) if self._single else jax.vmap(step))(cp, state.positions, actions)
+        if self._single:
+            B = state.positions.shape[0]
+            children = expand_children(
+                cp, self._contacts, self._contacts_mask, state.positions
+            )  # (4B, N, 2) in action-block order
+            next_pos = children.reshape(4, B, *children.shape[1:])[
+                actions, jnp.arange(B)
+            ]
+        else:
+            next_pos = jax.vmap(step)(cp, state.positions, actions)
         terminated = self._vmap(is_goal_state)(cp, next_pos)
         achieved = self._vmap(count_achieved_goals)(cp, next_pos).astype(jnp.int32)
         reward = jnp.where(

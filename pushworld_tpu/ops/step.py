@@ -88,6 +88,31 @@ def step(cp: CompiledPuzzle, state: jax.Array, action: jax.Array) -> jax.Array:
     return state + disp[None, :] * moved[:, None].astype(jnp.int32)
 
 
+def build_contact_lists(cp: CompiledPuzzle, cmax_pad: int = 0):
+    """Compacts the dense push tables into per-(action, pusher, pushee)
+    contact-offset lists (the native planner's representation, planner.cc
+    Contact) for :func:`expand_children`.
+
+    Returns (contacts int16 (4, N, N, C, 2) with (rx, ry) = pos_i - pos_j,
+    mask bool (4, N, N, C))."""
+    push = np.asarray(cp.push)
+    N, delta = cp.n, cp.delta
+    counts = push.reshape(4, N, N, -1).sum(-1)
+    C = max(1, int(counts.max()), cmax_pad)
+    contacts = np.zeros((4, N, N, C, 2), np.int16)
+    mask = np.zeros((4, N, N, C), bool)
+    for a in range(4):
+        for q in range(N):
+            for o in range(N):
+                ys, xs = np.nonzero(push[a, q, o])
+                m = len(ys)
+                if m:
+                    contacts[a, q, o, :m, 0] = xs - delta
+                    contacts[a, q, o, :m, 1] = ys - delta
+                    mask[a, q, o, :m] = True
+    return contacts, mask
+
+
 def _closure_from_agent(m: jax.Array, n: int) -> jax.Array:
     """(B, N) bool: movables transitively pushed from the agent.
     ``m``: (B, N, N) bool push relation."""
