@@ -58,14 +58,28 @@ def shard_puzzles(
     process_id: int,
     n_processes: int,
 ) -> List[Tuple[str, Puzzle]]:
-    """Deterministic round-robin shard: puzzle i -> process i % n.
+    """Deterministic difficulty-balanced shard.
 
-    Round-robin (rather than contiguous blocks) balances the level-sorted
-    benchmark's difficulty gradient across processes."""
+    Instances are ordered by a difficulty proxy (movable count, grid area)
+    and dealt round-robin, so every process receives an interleaved slice
+    of the difficulty distribution and all processes finish within about
+    one per-puzzle budget of each other.  (A name-ordered round-robin can
+    hand one process most of the budget-burning misses — the skewed
+    process then outlives the others by minutes, which trips the
+    coordination service's cross-process barrier timeout at the result
+    exchange/shutdown.)"""
+    order = sorted(
+        range(len(named_puzzles)),
+        key=lambda i: (
+            named_puzzles[i][1].num_movables,
+            named_puzzles[i][1].height * named_puzzles[i][1].width,
+            named_puzzles[i][0],
+        ),
+    )
     return [
-        item
-        for i, item in enumerate(named_puzzles)
-        if i % n_processes == process_id
+        named_puzzles[j]
+        for k, j in enumerate(order)
+        if k % n_processes == process_id
     ]
 
 
