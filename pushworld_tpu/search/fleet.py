@@ -29,6 +29,12 @@ from pushworld_tpu.search.planner import PlanResult
 
 __all__ = ["plan_puzzles_fleet"]
 
+# Unstarted device lanes become host-stealable only after this many
+# seconds of being held (env PW_DEVICE_STEAL_GRACE_S): long enough for a
+# warm-cache dispatch, short enough that cold multi-minute compiles do not
+# hold budget-burning instances hostage while hosts idle.
+DEVICE_STEAL_GRACE_S = float(os.environ.get("PW_DEVICE_STEAL_GRACE_S", "6"))
+
 # Per-run device phase breakdown (SURVEY §5 tracing row): reset by
 # plan_puzzles_fleet, filled by _device_multiplex, read by bench.py.
 _device_stats: Dict[str, float] = {}
@@ -212,7 +218,7 @@ def _device_multiplex(
                     # during them (deadline None = the stealer gets the
                     # full per-puzzle budget).
                     with coordination["lock"]:
-                        coordination["lanes"][name] = (p, None)
+                        coordination["lanes"][name] = (p, None, time.monotonic())
 
             if lanes:
                 # Warm the group's SHARED compiled program before any lane's
@@ -259,6 +265,7 @@ def _device_multiplex(
                                 coordination["lanes"][lane["name"]] = (
                                     lane["puzzle"],
                                     lane["deadline"],
+                                    time.monotonic(),
                                 )
                         continue
                     s_next = run_chunk(pl.cp, pl.tables, pl.config, lane["s"], CHUNK)
@@ -410,19 +417,28 @@ def plan_puzzles_fleet(
                     name, puzzle = dq.popleft()
                 elif use_device and coordination["lanes"]:
                     # Steal an unfinished device lane: finish it natively
-                    # within its remaining budget.  Prefer lanes the device
-                    # has NOT started running (deadline None — queued
-                    # behind another group's compile) over active ones.
-                    items = coordination["lanes"].items()
-                    name, (puzzle, deadline) = next(
-                        ((n, v) for n, v in items if v[1] is None),
-                        next(iter(items)),
+                    # within its remaining budget.  Unstarted lanes
+                    # (deadline None — queued behind a compile) are only
+                    # stealable after a grace period, otherwise idle hosts
+                    # vacuum every device claim before its first dispatch
+                    # on warm-cache runs and the chip never earns a solve;
+                    # active lanes are always stealable (first result
+                    # wins, so the race is benign).
+                    now = time.monotonic()
+                    items = list(coordination["lanes"].items())
+                    pick = next(
+                        ((n, v) for n, v in items
+                         if v[1] is None and now - v[2] > DEVICE_STEAL_GRACE_S),
+                        next(((n, v) for n, v in items if v[1] is not None),
+                             None),
                     )
-                    del coordination["lanes"][name]
-                    coordination["stolen"].add(name)
-                    coordination["pending"] -= 1
-                    if deadline is not None:
-                        budget = max(0.1, deadline - time.monotonic())
+                    if pick is not None:
+                        name, (puzzle, deadline, _) = pick
+                        del coordination["lanes"][name]
+                        coordination["stolen"].add(name)
+                        coordination["pending"] -= 1
+                        if deadline is not None:
+                            budget = max(0.1, deadline - time.monotonic())
                 elif not (use_device and coordination["pending"] > 0):
                     return
             if name is None:
@@ -496,7 +512,7 @@ def plan_puzzles_fleet(
                 # earlier groups compile and run (host workers would
                 # spin-wait on "pending" for minutes).
                 for g_name, g_puzzle in group:
-                    coordination["lanes"][g_name] = (g_puzzle, None)
+                    coordination["lanes"][g_name] = (g_puzzle, None, time.monotonic())
             group.reverse()
             processed = set()
             try:
