@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Headline benchmark for pushworld-tpu.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+All progress/diagnostics go to stderr.
 
 Headline: benchmark puzzles solved per second by the heterogeneous fleet
 executor (host native workers + TPU batched search,
@@ -13,40 +14,64 @@ run_planner, built unmodified from /root/reference/cpp with the std-based
 Boost shims in scripts_dev/boost_shim) sequentially on the same puzzles
 with the same per-puzzle CPU budget, rlimit-enforced exactly like the
 reference harness (reference: python3/src/pushworld/benchmark_rgd.py:31-33,
-utils/process.py:61-84).  When the reference binary cannot be built, the
-baseline falls back to this framework's own serial native planner (a
-strictly stronger baseline than the reference on the published benchmark:
-at 60 s it solves 168/223 vs the reference's 150/223).
+utils/process.py:61-84).  The baseline is deterministic (fixed binary,
+fixed rlimits, fixed set), so its result is CACHED in
+scripts_dev/baseline_cache.json keyed by (set spec, budget, binary hash)
+and only re-raced on a cache miss — re-measuring it inside every capture
+is what blew the round-3 driver budget (BENCH_r03: rc=124).  On a miss
+the baseline runs BEFORE JAX is imported (no fork-after-threads hazard).
+When the reference binary cannot be built, the baseline falls back to
+this framework's own serial native planner (a strictly stronger baseline
+than the reference on the published benchmark: at 60 s it solves 175/223
+vs the reference's 150/223).
 
 The default set is STRATIFIED across difficulty levels — it includes
 level3/level4 instances the serial planners time out on, which is where
 the TPU batched search earns solves.
+
+Reliability: a watchdog thread force-prints the best partial result and
+exits 0 if the run exceeds PW_BENCH_WATCHDOG_S (default 780) so a driver
+timeout can never erase the capture; faulthandler dumps all stacks to
+stderr at the same deadline for diagnosis.
 
 Environment overrides:
   PUSHWORLD_BENCH_SET     comma-separated level:count specs
                           (default "level1:12,level2:18,level3:18,level4:6")
   PUSHWORLD_BENCH_BUDGET  per-puzzle seconds (default 20)
   PUSHWORLD_BENCH_BASELINE  "ref" | "native" | "skip" (default ref)
+  PUSHWORLD_BENCH_REFRESH_BASELINE  "1" ignores the baseline cache
   PUSHWORLD_BENCH_PROTOCOL  "full60" = the protocol-grade run in one line:
                           all 223 benchmark puzzles, 60 s per-puzzle budget,
-                          raced against the reference planner (expect ~2.5 h
-                          wall: ours + the sequential reference baseline)
+                          raced against the reference planner (expect ~1.5 h
+                          wall with a cached baseline)
   PUSHWORLD_BENCH_ENV     "0" disables the vectorized-env throughput
                           measurement (steps/s/chip, reported in detail)
+  PW_BENCH_WATCHDOG_S     watchdog deadline seconds (default 780; <= 0
+                          disables)
   PW_PROFILE_DIR          when set, capture a jax.profiler trace of the
                           fleet run into this directory
 """
 
+import hashlib
 import json
 import os
 import resource
 import subprocess
+import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REF_CPP = "/root/reference/cpp"
 REF_BIN = os.path.join(HERE, "scripts_dev", "ref_planner")
+BASELINE_CACHE = os.path.join(HERE, "scripts_dev", "baseline_cache.json")
 ACTION = {"L": 0, "R": 1, "U": 2, "D": 3}
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 
 def load_set(spec: str):
@@ -98,6 +123,40 @@ def build_reference_planner() -> bool:
         return subprocess.run(cmd, capture_output=True).returncode == 0
     except FileNotFoundError:
         return False
+
+
+def _baseline_key(spec: str, budget: float) -> str:
+    with open(REF_BIN, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return f"{spec}|{budget:g}|{h}"
+
+
+def baseline_cache_lookup(spec: str, budget: float):
+    try:
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        return cache.get(_baseline_key(spec, budget))
+    except (OSError, ValueError):
+        return None
+
+
+def baseline_cache_store(spec: str, budget: float, solved: int, wall: float):
+    try:
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    entry = {
+        "solved": solved,
+        "wall_s": round(wall, 1),
+        "spec": spec,
+        "budget_s": budget,
+        "recorded": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    cache[_baseline_key(spec, budget)] = entry
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    return entry
 
 
 def run_reference_baseline(named, paths_by_name, budget: float):
@@ -161,6 +220,66 @@ def main():
     budget = float(os.environ.get("PUSHWORLD_BENCH_BUDGET", default_budget))
     baseline_kind = os.environ.get("PUSHWORLD_BENCH_BASELINE", "ref")
     profile_dir = os.environ.get("PW_PROFILE_DIR")
+    watchdog_s = float(os.environ.get("PW_BENCH_WATCHDOG_S", "780"))
+
+    # Stack dumps to stderr if anything wedges near the watchdog deadline.
+    import faulthandler
+
+    if watchdog_s > 0:
+        faulthandler.dump_traceback_later(
+            max(60.0, watchdog_s - 10.0), file=sys.stderr
+        )
+
+    detail = {"set": spec, "budget_s": budget}
+    emitted = {"done": False}
+
+    def emit(value: float, vs_baseline: float) -> None:
+        if emitted["done"]:
+            return
+        emitted["done"] = True
+        print(
+            json.dumps(
+                {
+                    "metric": "benchmark_puzzles_solved_per_s",
+                    "value": round(value, 4),
+                    "unit": "puzzles/s",
+                    "vs_baseline": round(vs_baseline, 3),
+                    "detail": detail,
+                }
+            ),
+            flush=True,
+        )
+
+    # --- reference-protocol baseline FIRST, before JAX exists in the
+    # process: a cache miss fork/execs the reference binary dozens of
+    # times, which must not happen after JAX spins up its thread pool.
+    base_solved, base_wall = 0, 0.0
+    if baseline_kind == "ref" and build_reference_planner():
+        refresh = os.environ.get("PUSHWORLD_BENCH_REFRESH_BASELINE") == "1"
+        cached = None if refresh else baseline_cache_lookup(spec, budget)
+        if cached is not None:
+            base_solved, base_wall = cached["solved"], cached["wall_s"]
+            detail["baseline"] = "reference C++ run_planner (shim build, cached)"
+            detail["baseline_recorded"] = cached.get("recorded")
+            log(f"baseline cache hit: {base_solved} solved in {base_wall}s")
+        else:
+            log("baseline cache miss: racing reference planner (pre-JAX)")
+            named0, paths0 = load_set(spec)
+            base_solved, base_wall = run_reference_baseline(
+                named0, paths0, budget
+            )
+            baseline_cache_store(spec, budget, base_solved, base_wall)
+            detail["baseline"] = "reference C++ run_planner (shim build)"
+            log(f"baseline raced: {base_solved} solved in {base_wall:.0f}s")
+    elif baseline_kind != "skip":
+        named0, _ = load_set(spec)
+        base_solved, base_wall = run_native_baseline(named0, budget)
+        detail["baseline"] = "own native serial planner"
+    else:
+        detail["baseline"] = "skipped"
+    detail["baseline_solved"] = base_solved
+    detail["baseline_wall_s"] = round(base_wall, 1)
+    baseline_rate = base_solved / base_wall if base_wall > 0 else 1e-9
 
     import jax
 
@@ -181,6 +300,60 @@ def main():
     warm_transfers_async()
 
     named, paths_by_name = load_set(spec)
+    detail["count"] = len(named)
+    log(f"set loaded: {len(named)} puzzles")
+
+    # Partial results shared with the watchdog: if the driver's budget is
+    # about to end the process, print what the fleet has so far and exit 0
+    # (a timeout must never erase the capture — round-3 lesson).
+    partial_results = {}
+    fleet_t0 = [None]
+
+    def watchdog():
+        time.sleep(watchdog_s)
+        if emitted["done"]:
+            return
+        solved = sum(
+            1 for r in partial_results.values() if r.failure_reason is None
+        )
+        wall = (
+            time.monotonic() - fleet_t0[0]
+            if fleet_t0[0] is not None
+            else time.monotonic() - _T0
+        )
+        detail["partial"] = True
+        detail["fleet_solved"] = solved
+        detail["fleet_wall_s"] = round(wall, 1)
+        value = solved / wall if wall > 0 else 0.0
+        log(f"WATCHDOG fired at +{watchdog_s:.0f}s: emitting partial result")
+        faulthandler.dump_traceback(file=sys.stderr)
+        emit(value, value / baseline_rate)
+        os._exit(0)
+
+    if watchdog_s > 0:
+        import threading
+
+        threading.Thread(target=watchdog, daemon=True).start()
+
+    # --- vectorized-env throughput (steps/s/chip; SURVEY §2e batched
+    # rollouts) BEFORE the fleet phase so the headline JSON can be emitted
+    # the moment the fleet finishes.  Measured on the largest-grid puzzle
+    # of the set so the roofline estimate is meaningful.
+    if os.environ.get("PUSHWORLD_BENCH_ENV", "1") != "0":
+        try:
+            from pushworld_tpu.envs.throughput import measure_env_throughput
+
+            env_puzzle = max(named, key=lambda np_: np_[1].height * np_[1].width)
+            log(f"env throughput on {env_puzzle[0]}")
+            detail["env_throughput"] = dict(
+                measure_env_throughput(
+                    env_puzzle[1], batch_size=4096, horizon=128, reps=3
+                ),
+                puzzle=env_puzzle[0],
+            )
+            log(f"env throughput done: {detail['env_throughput'].get('steps_per_s')}")
+        except Exception as e:  # pragma: no cover - measurement is best-effort
+            detail["env_throughput"] = {"error": f"{type(e).__name__}: {e}"}
 
     # --- fleet executor (the headline).
     import contextlib
@@ -190,13 +363,17 @@ def main():
         if profile_dir
         else contextlib.nullcontext()
     )
-    t0 = time.monotonic()
+    log("fleet phase starting")
+    fleet_t0[0] = time.monotonic()
     with trace_cm:
-        results = plan_puzzles_fleet(named, time_limit=budget, group_size=8)
-    fleet_wall = time.monotonic() - t0
+        results = plan_puzzles_fleet(
+            named, time_limit=budget, group_size=8, results_out=partial_results
+        )
+    fleet_wall = time.monotonic() - fleet_t0[0]
     fleet_solved = sum(
         1 for r in results.values() if r.failure_reason is None
     )
+    log(f"fleet done: {fleet_solved}/{len(named)} in {fleet_wall:.0f}s")
     by_solver = {}
     for r in results.values():
         if r.failure_reason is None:
@@ -207,64 +384,18 @@ def main():
         s, t = by_level.get(lvl, (0, 0))
         by_level[lvl] = (s + (r.failure_reason is None), t + 1)
 
-    # --- reference-protocol baseline.
-    detail = {
-        "set": spec,
-        "budget_s": budget,
-        "fleet_solved": fleet_solved,
-        "fleet_by_solver": by_solver,
-        "fleet_by_level": {k: f"{s}/{t}" for k, (s, t) in sorted(by_level.items())},
-        "count": len(named),
-        "fleet_wall_s": round(fleet_wall, 1),
-        "device_phases": getattr(fleet_mod, "_device_stats", None),
-    }
+    detail.update(
+        fleet_solved=fleet_solved,
+        fleet_by_solver=by_solver,
+        fleet_by_level={k: f"{s}/{t}" for k, (s, t) in sorted(by_level.items())},
+        fleet_wall_s=round(fleet_wall, 1),
+        device_phases=getattr(fleet_mod, "_device_stats", None),
+    )
     if profile_dir:
         detail["profile_dir"] = profile_dir
 
-    # --- vectorized-env throughput (steps/s/chip; SURVEY §2e batched
-    # rollouts).  Measured on the largest-grid puzzle of the set so the
-    # roofline estimate is meaningful.
-    if os.environ.get("PUSHWORLD_BENCH_ENV", "1") != "0":
-        try:
-            from pushworld_tpu.envs.throughput import measure_env_throughput
-
-            env_puzzle = max(named, key=lambda np_: np_[1].height * np_[1].width)
-            detail["env_throughput"] = dict(
-                measure_env_throughput(
-                    env_puzzle[1], batch_size=4096, horizon=128, reps=3
-                ),
-                puzzle=env_puzzle[0],
-            )
-        except Exception as e:  # pragma: no cover - measurement is best-effort
-            detail["env_throughput"] = {"error": f"{type(e).__name__}: {e}"}
-
-    if baseline_kind == "ref" and build_reference_planner():
-        base_solved, base_wall = run_reference_baseline(
-            named, paths_by_name, budget
-        )
-        detail["baseline"] = "reference C++ run_planner (shim build)"
-    elif baseline_kind != "skip":
-        base_solved, base_wall = run_native_baseline(named, budget)
-        detail["baseline"] = "own native serial planner"
-    else:
-        base_solved, base_wall = 0, 0.0
-        detail["baseline"] = "skipped"
-    detail["baseline_solved"] = base_solved
-    detail["baseline_wall_s"] = round(base_wall, 1)
-
     value = fleet_solved / fleet_wall if fleet_wall > 0 else 0.0
-    baseline = base_solved / base_wall if base_wall > 0 else 1e-9
-    print(
-        json.dumps(
-            {
-                "metric": "benchmark_puzzles_solved_per_s",
-                "value": round(value, 4),
-                "unit": "puzzles/s",
-                "vs_baseline": round(value / baseline, 3),
-                "detail": detail,
-            }
-        )
-    )
+    emit(value, value / baseline_rate)
 
 
 if __name__ == "__main__":

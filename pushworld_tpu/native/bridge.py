@@ -61,6 +61,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -82,6 +83,7 @@ def solve_native(
     plan_capacity: int = 1 << 16,
     seed: int = 0,
     queue: str = "lifo",
+    cancel: Optional["np.ndarray"] = None,
 ) -> Optional[List[int]]:
     """Solves with the native planner.  Returns the plan, None for no
     solution, or raises TimeoutError / MemoryError / RuntimeError.
@@ -97,8 +99,13 @@ def solve_native(
     node instead of per generated child); adding "prune" cuts non-novel
     (novelty-3) states entirely instead of ordering them last (width-based
     pruning; the search becomes incomplete, so exhaustion reports
-    TimeoutError, never "no solution").  Greedy best-first outcomes are
-    ordering-sensitive and the staged portfolio exploits all disciplines."""
+    TimeoutError, never "no solution"); adding "pref" runs a
+    preferred-operator dual queue (the child reached by the RGD argmin
+    chain's first agent move is boosted 2:1 — implies lazy); adding
+    "eps" makes 1/4 of pops type-based random explorations (uniform
+    nonempty bucket, then uniform element) to escape heuristic plateaus.
+    Greedy best-first outcomes are ordering-sensitive and the staged
+    portfolio exploits all disciplines."""
     from pushworld_tpu.core.compiled import compile_puzzle
 
     lib = _load()
@@ -106,7 +113,7 @@ def solve_native(
         raise RuntimeError("native planner unavailable (g++ build failed)")
     cp = compiled if compiled is not None else compile_puzzle(puzzle)
     tokens = set(queue.split("+"))
-    unknown = tokens - {"lifo", "fifo", "lazy", "prune"}
+    unknown = tokens - {"lifo", "fifo", "lazy", "prune", "pref", "eps"}
     if unknown:
         raise ValueError(f"unknown queue tokens: {sorted(unknown)}")
 
@@ -132,11 +139,18 @@ def solve_native(
         (1 if mode == "N+RGD" else 0)
         | (2 if "fifo" in tokens else 0)
         | (4 if "lazy" in tokens else 0)
-        | (8 if "prune" in tokens else 0),
+        | (8 if "prune" in tokens else 0)
+        | (16 if "pref" in tokens else 0)
+        | (32 if "eps" in tokens else 0),
         -1.0 if time_limit is None else float(time_limit),
         float(mem_limit_gb),
         int(max_expansions),
         int(seed),
+        (
+            cancel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if cancel is not None
+            else ctypes.POINTER(ctypes.c_int32)()
+        ),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         plan_capacity,
         ctypes.byref(out_exp),
@@ -149,6 +163,8 @@ def solve_native(
         raise TimeoutError("native planner budget exhausted")
     if rc == -5:
         raise MemoryError("native planner memory limit exhausted")
+    if rc == -7:
+        raise TimeoutError("native planner cancelled")
     raise RuntimeError(f"native planner error {rc}")
 
 
@@ -199,6 +215,7 @@ def solve_native_staged(
     time_limit: Optional[float] = None,
     mem_limit_gb: float = 16.0,
     stages=STAGES_DEFAULT,
+    cancel: Optional["np.ndarray"] = None,
 ) -> Optional[List[int]]:
     """Serial restart portfolio over diverse (mode, action-order seed)
     configurations of the native planner, splitting ``time_limit``.
@@ -216,7 +233,7 @@ def solve_native_staged(
     if mode != "N+RGD" or time_limit is None:
         return solve_native(
             puzzle, compiled=compiled, mode=mode, time_limit=time_limit,
-            mem_limit_gb=mem_limit_gb,
+            mem_limit_gb=mem_limit_gb, cancel=cancel,
         )
     import time as _time
 
@@ -227,6 +244,8 @@ def solve_native_staged(
         remaining = deadline - _time.monotonic()
         if remaining <= 0:
             break
+        if cancel is not None and cancel[0]:
+            break  # another fleet solver already resolved this instance
         last = i == len(stages) - 1
         budget = remaining if last else min(remaining, time_limit * frac)
         attempted += 1
@@ -234,6 +253,7 @@ def solve_native_staged(
             return solve_native(
                 puzzle, compiled=compiled, mode=st_mode, time_limit=budget,
                 mem_limit_gb=mem_limit_gb, seed=st_seed, queue=st_queue,
+                cancel=cancel,
             )
         except TimeoutError:
             continue

@@ -302,8 +302,17 @@ struct RGD {
     return pc_cache.emplace(key, std::move(costs)).first->second;
   }
 
+  // ``agent_pn`` (optional) receives the agent's next position on the
+  // winning (argmin) branch — the first physical move of the cheapest
+  // tool chain the heuristic found.  The search layer turns it into a
+  // PREFERRED ACTION (classic helpful-action/preferred-operator pruning:
+  // the recursion already identifies the pusher path, so expanding its
+  // one implied action first focuses greedy descent; cf. reference
+  // recursive_graph_distance.cc:114-174, which computes the same argmin
+  // chain but discards it).
   float recursive_pushing_cost(const int32_t* state, int o, int cur, int eff,
-                               uint32_t skipped, int depth, float bound) {
+                               uint32_t skipped, int depth, float bound,
+                               int* agent_pn = nullptr) {
     float min_cost = bound;
     skipped |= (1u << o);
     const int start = depth == 0 ? 0 : 1;
@@ -315,18 +324,28 @@ struct RGD {
         if (dist_cost >= min_cost) continue;
         if (q == 0) {
           const float total = dist_cost + 1.f;
-          if (total < min_cost) min_cost = total;
+          if (total < min_cost) {
+            min_cost = total;
+            if (agent_pn) *agent_pn = pn;
+          }
         } else {
-          min_cost = dist_cost +
-                     recursive_pushing_cost(state, q, state[q], pn, skipped,
-                                            depth - 1, min_cost - dist_cost);
+          int sub_pn = -1;
+          const float sub = recursive_pushing_cost(
+              state, q, state[q], pn, skipped, depth - 1,
+              min_cost - dist_cost, agent_pn ? &sub_pn : nullptr);
+          const float total = dist_cost + sub;
+          if (total < min_cost) {
+            min_cost = total;
+            if (agent_pn) *agent_pn = sub_pn;
+          }
         }
       }
     }
     return min_cost;
   }
 
-  float goal_cost(const int32_t* state, int o, int goal, int depth) {
+  float goal_cost(const int32_t* state, int o, int goal, int depth,
+                  int* agent_pn = nullptr) {
     const int cur = state[o];
     if (cur == goal) return 0.f;
     float min_cost = kInf;
@@ -335,20 +354,40 @@ struct RGD {
       const int eff = cur + kDy[a] * pz->W + kDx[a];
       const float gd = dists[o].dist(eff, goal);
       if (gd >= min_cost) continue;
-      min_cost = gd + recursive_pushing_cost(state, o, cur, eff, 0u, depth,
-                                             min_cost - gd);
+      int sub_pn = -1;
+      const float total =
+          gd + recursive_pushing_cost(state, o, cur, eff, 0u, depth,
+                                      min_cost - gd,
+                                      agent_pn ? &sub_pn : nullptr);
+      if (total < min_cost) {
+        min_cost = total;
+        if (agent_pn) *agent_pn = sub_pn;
+      }
     }
     return min_cost;
   }
 
-  float estimate(const int32_t* state) {
+  // ``pref_action`` (optional) receives the action moving the agent onto
+  // the winning branch's next position for the first unsatisfied goal
+  // with a finite cost (-1 when no such action exists).
+  float estimate(const int32_t* state, int* pref_action = nullptr) {
+    if (pref_action) *pref_action = -1;
     float cost = 0.f;
     for (int k = 0; k < pz->num_goals; k++) {
       const int o = k + 1;
       float c = kInf;
+      int agent_pn = -1;
+      const bool want_pref =
+          pref_action && *pref_action < 0 && state[o] != pz->goal_pos[k];
       for (int depth = 0; depth < pz->n - 1; depth++) {
-        c = goal_cost(state, o, pz->goal_pos[k], depth);
+        c = goal_cost(state, o, pz->goal_pos[k], depth,
+                      want_pref ? &agent_pn : nullptr);
         if (c != kInf) break;
+      }
+      if (want_pref && agent_pn >= 0) {
+        const int d = agent_pn - state[0];
+        for (int a = 0; a < kNumActions; a++)
+          if (kDy[a] * pz->W + kDx[a] == d) { *pref_action = a; break; }
       }
       cost += c;
       if (cost == kInf) break;
@@ -510,6 +549,33 @@ struct BucketQueue {
     return pop_bucket(overflow);
   }
 
+  // Type-based exploration pop (cf. Xie et al. 2014's type buckets):
+  // a uniformly random NONEMPTY bucket (not a uniformly random node —
+  // deep plateaus hold most nodes, so uniform-over-buckets is what
+  // actually diversifies), then a uniformly random element within it.
+  // Greedy best-first stalls on heuristic plateaus; occasionally popping
+  // an arbitrary depth/score stratum escapes them.
+  int32_t pop_random(uint64_t* rng) {
+    Bucket* nonempty[4096];
+    int m = 0;
+    for (auto& tier : tiers)
+      for (auto& bucket : tier)
+        if (!bucket.empty() && m < 4096) nonempty[m++] = &bucket;
+    if (!overflow.empty() && m < 4096) nonempty[m++] = &overflow;
+    if (m == 0) return pop();  // unreachable when count > 0
+    *rng ^= *rng << 13; *rng ^= *rng >> 7; *rng ^= *rng << 17;
+    Bucket& b = *nonempty[*rng % m];
+    *rng ^= *rng << 13; *rng ^= *rng >> 7; *rng ^= *rng << 17;
+    const size_t span = b.v.size() - b.head;
+    const size_t idx = b.head + (size_t)(*rng % span);
+    std::swap(b.v[idx], b.v.back());  // order perturbation is the point
+    const int32_t v = b.v.back();
+    b.v.pop_back();
+    if (b.empty()) { b.v.clear(); b.head = 0; }
+    count--;
+    return v;
+  }
+
   bool empty() const { return count == 0; }
 };
 
@@ -569,13 +635,15 @@ int32_t pw_build_graphs(int32_t n, int32_t H, int32_t W, int32_t delta,
 }
 
 // Returns plan length (>= 0), -1 no solution, -2 budget exhausted,
-// -3 plan buffer too small, -4 invalid arguments, -5 memory limit.
+// -3 plan buffer too small, -4 invalid arguments, -5 memory limit,
+// -7 cancelled (``cancel`` flag became nonzero).
 static int64_t pw_solve_impl(
                  int32_t n, int32_t H, int32_t W, int32_t delta,
                  const uint8_t* static_block, const uint8_t* push,
                  const int32_t* init_xy, const int32_t* goal_xy,
                  int32_t num_goals, int32_t use_novelty, double time_limit,
                  double mem_limit_gb, int64_t max_expansions, uint64_t seed,
+                 const volatile int32_t* cancel,
                  int32_t* out_plan, int64_t out_cap,
                  int64_t* out_expansions) {
   const size_t mem_limit_bytes =
@@ -634,9 +702,19 @@ static int64_t pw_solve_impl(
   // last — a width-based cut of the search space (cf. the BFWS family the
   // reference's novelty heuristic derives from, novelty.h:50-82).  Pruning
   // makes exhaustion inconclusive, so an empty frontier returns -2, not -1.
+  // Bit 4: PREFERRED-OPERATOR dual queue — the child generated by the
+  // RGD argmin chain's first agent move is queued separately and popped
+  // at a 2:1 boost over the regular queue (classic helpful-action
+  // acceleration; implies lazy evaluation, which is where the parent's
+  // preferred action is computed).  Bit 5: epsilon type-based exploration
+  // — 1/4 of pops take a uniformly random (bucket, element) instead of
+  // the best bucket, escaping heuristic plateaus.
   BucketQueue frontier((use_novelty & 2) != 0);
-  const bool lazy = (use_novelty & 4) != 0;
+  BucketQueue pref_queue((use_novelty & 2) != 0);
+  const bool use_pref = (use_novelty & 16) != 0;
+  const bool lazy = (use_novelty & 4) != 0 || use_pref;
   const bool prune = (use_novelty & 8) != 0;
+  const bool use_eps = (use_novelty & 32) != 0;
   use_novelty &= 1;
 
   const int32_t root =
@@ -673,9 +751,18 @@ static int64_t pw_solve_impl(
     return rc;
   };
 
-  while (!frontier.empty()) {
+  // Independent stream for exploration pops so eps mode leaves the
+  // action-order stream (and with it every existing seed's behavior)
+  // untouched.
+  uint64_t eps_state = perm_state ^ 0xD1B54A32D192ED03ull;
+  uint64_t pref_tick = 0;
+
+  while (frontier.count + pref_queue.count > 0) {
     if (max_expansions > 0 && expansions >= max_expansions) return finish(-2);
     if ((expansions & 0xFF) == 0) {
+      // Cooperative cancellation (fleet: another solver already resolved
+      // this instance) — checked on the same cadence as the deadline.
+      if (cancel && *cancel) return finish(-7);
       if (Clock::now() > deadline) return finish(-2);
       // Reference-protocol analog of the 30 GB address-space rlimit
       // (utils/process.py:61-71): cap the search's dominant allocations.
@@ -685,7 +772,29 @@ static int64_t pw_solve_impl(
                            actions.capacity() + visited.mem_bytes();
       if (bytes > mem_limit_bytes) return finish(-5);
     }
-    const int32_t node = frontier.pop();
+    int32_t node;
+    bool took_random = false;
+    if (use_eps) {
+      eps_state ^= eps_state << 13; eps_state ^= eps_state >> 7;
+      eps_state ^= eps_state << 17;
+      if ((eps_state & 3) == 0) {
+        if (!frontier.empty()) node = frontier.pop_random(&eps_state);
+        else node = pref_queue.pop_random(&eps_state);
+        took_random = true;
+      }
+    }
+    if (!took_random) {
+      // 2:1 boost for the preferred queue (its states sit on the RGD
+      // argmin chain); the regular queue still drains so non-preferred
+      // strata are never starved.
+      if (use_pref && !pref_queue.empty() &&
+          (pref_tick++ % 3 != 2 || frontier.empty()))
+        node = pref_queue.pop();
+      else if (!frontier.empty())
+        node = frontier.pop();
+      else
+        node = pref_queue.pop();
+    }
     const int32_t* state = arena.data() + (size_t)node * n;
     expansions++;
 
@@ -693,12 +802,13 @@ static int64_t pw_solve_impl(
     // queued under this key.  Non-novel states are cut here in prune mode
     // (their one evaluation already happened — no expansion).
     float node_nov = 1.f, node_h = 0.f;
+    int node_pref = -1;
     if (lazy) {
       node_nov = (use_novelty || prune)
                      ? novelty.estimate(state, moved_masks[node])
                      : 1.f;
       if (prune && node_nov >= 3.f && node != root) continue;
-      node_h = rgd.estimate(state);
+      node_h = rgd.estimate(state, use_pref ? &node_pref : nullptr);
       if (!use_novelty) node_nov = 1.f;
     }
 
@@ -732,7 +842,10 @@ static int64_t pw_solve_impl(
         return (int64_t)plan.size();
       }
       if (lazy) {
-        frontier.push(cidx, node_nov, node_h);
+        if (use_pref && a == node_pref)
+          pref_queue.push(cidx, node_nov, node_h);
+        else
+          frontier.push(cidx, node_nov, node_h);
       } else {
         float nov =
             use_novelty || prune ? novelty.estimate(child.data(), moved) : 1.f;
@@ -754,12 +867,13 @@ int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,
                  const int32_t* init_xy, const int32_t* goal_xy,
                  int32_t num_goals, int32_t use_novelty, double time_limit,
                  double mem_limit_gb, int64_t max_expansions, uint64_t seed,
+                 const volatile int32_t* cancel,
                  int32_t* out_plan, int64_t out_cap,
                  int64_t* out_expansions) {
   try {
     return pw_solve_impl(n, H, W, delta, static_block, push, init_xy, goal_xy,
                          num_goals, use_novelty, time_limit, mem_limit_gb,
-                         max_expansions, seed, out_plan, out_cap,
+                         max_expansions, seed, cancel, out_plan, out_cap,
                          out_expansions);
   } catch (const std::bad_alloc&) {
     return -5;

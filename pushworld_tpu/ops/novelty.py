@@ -25,10 +25,15 @@ lowered to a serial per-row loop that dominated the search iteration):
     an artifact of querying the full product set) are excluded by
     subtracting the own-column term.
 
-  Hash collisions (and the product-set relaxation) can only mark MORE cells
-  seen, i.e. only *raise* a state's novelty from 2 to 3 — slightly weaker
-  search guidance, never incorrect results (same failure direction as the
-  previous flat bitset);
+  Hash collisions on the TABLE side (two pairs sharing a cell) mark MORE
+  cells seen, i.e. *raise* a state's novelty from 2 to 3.  Collisions on
+  the QUERY side can also lower it: when a moved and an unmoved atom of
+  the same state collide into one bucket ``k``, ``X[b, k]`` is set by the
+  moved atom and the unmoved atom's unseen pairs are attributed to it,
+  scoring 2 where the reference scores 3.  Both directions only perturb
+  search ORDER — plans remain valid (validated on reconstruction), and
+  the differential test (tests/test_batched_search.py) checks the
+  no-collision regime where scores are exact;
 - states in one batch are scored against the tables as of the start of the
   batch, then all their updates are applied at once (lockstep semantics),
   whereas the reference scores strictly sequentially.

@@ -165,6 +165,14 @@ def build_rgd_tables(
     with finite contacts anyway)."""
     N, H, W = cp.n, cp.height, cp.width
     HW = H * W
+    if HW > np.iinfo(np.int16).max:
+        # cvidx_a narrows vertex ids to int16 (ids < HW); a larger grid
+        # would silently wrap them into wrong heuristic values.  The
+        # benchmark max is 47x54 (SURVEY §6) — far below this cap.
+        raise ValueError(
+            f"grid H*W={HW} exceeds int16 vertex-id capacity "
+            f"({np.iinfo(np.int16).max}); cvidx_a would overflow"
+        )
 
     # One-time precompute runs entirely on host: the native C worklist for
     # the movement-graph fixpoint and C BFS for distances.  The device

@@ -212,8 +212,14 @@ def _make_run_chunk(mesh: Mesh, cp, tables, cfg: SearchConfig, chunk: int):
         def body(i, s):
             solved_any = jax.lax.pmax(s.solved.astype(jnp.int32), axis) > 0
             gmin = jax.lax.pmin(jnp.min(s.frontier_h), axis)
+            # pmax, not pmin: the loop must stop as soon as ANY shard is
+            # within one receive window of history capacity — a saturated
+            # shard clamps its cursor and would otherwise keep rewriting
+            # its last window, corrupting parent refs that children on
+            # OTHER shards already hold (matches the single-chip
+            # per-iteration gate in search/batched.py).
             hist_ok = (
-                jax.lax.pmin(s.hist_cursor, axis)
+                jax.lax.pmax(s.hist_cursor, axis)
                 < cfg.history_capacity - 8 * cfg.expand * mesh.size
             )
             active = (~solved_any) & (gmin < EMPTY) & hist_ok
@@ -253,7 +259,8 @@ def solve_frontier_sharded(
 
     ``expand``/``frontier_capacity``/``visited_bits``/``history_capacity``
     are PER SHARD; the effective global expansion width is
-    ``mesh.size * expand``.  Returns the plan (validated by the caller),
+    ``mesh.size * expand``.  Returns the plan (validated here against the
+    host oracle before returning),
     ``None`` when the distributed search exhausts without evictions (a
     complete no-solution proof — routing is drop-free, see module
     docstring), and raises TimeoutError on budget exhaustion.
@@ -362,12 +369,20 @@ def solve_frontier_sharded(
     solved_hist = np.asarray(states.solved_hist)
     gid = int(solved_hist[np.argmax(np.asarray(states.solved))])
     plan: List[int] = []
-    while True:
+    # Bounded walk: any ref corruption must fail loudly, never hang.
+    for _ in range(history_capacity * D):
         d, idx = divmod(gid, history_capacity)
         a = int(hist_action[d, idx])
         if a < 0:
             break
         plan.append(a)
         gid = int(hist_parent[d, idx])
+    else:
+        raise RuntimeError(
+            "sharded plan reconstruction exceeded history capacity "
+            "(corrupted parent refs)"
+        )
     plan.reverse()
+    if not puzzle.is_valid_plan(plan):
+        raise RuntimeError("sharded search produced an invalid plan")
     return plan

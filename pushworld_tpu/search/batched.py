@@ -86,12 +86,22 @@ from typing import NamedTuple
 
 class SearchConfig(NamedTuple):
     """Static (compile-time) search configuration.  Puzzles compiled to the
-    same bucket shape + config share all jitted search kernels."""
+    same bucket shape + config share all jitted search kernels.
+
+    ``lazy``: deferred RGD — the heuristic is evaluated once per SELECTED
+    parent (B evaluations) instead of once per generated child (4B), and
+    children inherit the parent's RGD in their priority key (novelty stays
+    exact per child — its moved mask is only known at generation).  The
+    native planner's measured counterpart of this discipline is 1.4-2.1x
+    expansions/s (planner.cc lazy mode); on device it removes 3/4 of the
+    dominant remaining gather term (the depth-0 cvidx_a/Dflat reads,
+    ops/rgd.py:_agent_push_cost)."""
 
     expand: int = 256
     history_capacity: int = 1 << 20
     max_depth: int = 1
     use_novelty: bool = True
+    lazy: bool = False
 
 
 @dataclass(frozen=True)
@@ -262,6 +272,7 @@ class BatchedPlanner:
         history_capacity: int = 1 << 20,
         max_depth: int = 1,
         use_novelty: bool = True,
+        lazy: bool = False,
     ):
         if frontier_capacity < 8 * expand:
             # The compacting ring needs room for at least two append
@@ -283,6 +294,7 @@ class BatchedPlanner:
         self.history_capacity = history_capacity
         self.max_depth = max_depth
         self.use_novelty = use_novelty
+        self.lazy = lazy
 
     # ------------------------------------------------------------------ init
 
@@ -309,6 +321,7 @@ class BatchedPlanner:
             history_capacity=self.history_capacity,
             max_depth=self.max_depth,
             use_novelty=self.use_novelty,
+            lazy=self.lazy,
         )
 
     # ----------------------------------------------------------------- solve
@@ -556,11 +569,21 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
             s.solved, s.solved_hist, jnp.where(any_goal, hist_idx[first_goal], 0)
         )
 
-        # 6. score new children.
+        # 6. score new children.  Novelty is always exact per child (its
+        # moved mask exists only at generation); RGD is either exact per
+        # child (eager) or inherited from the selected parent (lazy — B
+        # evaluations instead of 4B, see SearchConfig.lazy).
         nov, novelty = novelty_score_and_update(s.novelty, children, moved, is_new)
-        rgd, deeper_flag = rgd_heuristic_with_flags(
-            t, children, max_depth=cfg.max_depth
-        )
+        if cfg.lazy:
+            rgd_p, deeper_p = rgd_heuristic_with_flags(
+                t, parents, max_depth=cfg.max_depth
+            )
+            rgd = jnp.tile(rgd_p, (4,))
+            deeper_flag = jnp.tile(deeper_p & sel_valid, (4,))
+        else:
+            rgd, deeper_flag = rgd_heuristic_with_flags(
+                t, children, max_depth=cfg.max_depth
+            )
         h = _priority(nov, rgd, hist_idx, cfg.use_novelty)
         h = jnp.where(is_new, h, np.int32(EMPTY))
         n_deeper = jnp.sum((deeper_flag & is_new).astype(jnp.int32))

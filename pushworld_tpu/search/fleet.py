@@ -24,6 +24,8 @@ import time
 from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from pushworld_tpu.core.puzzle import Puzzle
 from pushworld_tpu.search.planner import PlanResult
 
@@ -35,6 +37,20 @@ __all__ = ["plan_puzzles_fleet"]
 # hold budget-burning instances hostage while hosts idle.
 DEVICE_STEAL_GRACE_S = float(os.environ.get("PW_DEVICE_STEAL_GRACE_S", "6"))
 
+# Device engagement policy (env PW_DEVICE_MODE):
+#   "shadow" (default) — the device runs instances WITHOUT removing them
+#       from the host queue: hosts keep every instance, so the fleet can
+#       never solve fewer than host-only; the first SUCCESS wins (a host
+#       reaching a device-solved instance skips it instantly, and a
+#       cooperative cancel flag frees a host mid-solve).  The device works
+#       the easy tail first (quick wins that free host time), then turns
+#       to the hard head — the instances hosts burn their full budget on
+#       and miss — with its capacity-heavy batched search.
+#   "claim" — round-3 behavior: the device removes groups from the back
+#       of the queue and owns them (host work-stealing applies).
+#   "off" — host workers only.
+DEVICE_MODE = os.environ.get("PW_DEVICE_MODE", "shadow")
+
 # Per-run device phase breakdown (SURVEY §5 tracing row): reset by
 # plan_puzzles_fleet, filled by _device_multiplex, read by bench.py.
 _device_stats: Dict[str, float] = {}
@@ -44,7 +60,7 @@ def _reset_device_stats() -> None:
     _device_stats.clear()
     _device_stats.update(
         table_build_s=0.0, table_bytes=0, chunk_dispatches=0,
-        status_sync_s=0.0, lanes=0, solved=0,
+        status_sync_s=0.0, lanes=0, solved=0, mode=DEVICE_MODE,
     )
 
 
@@ -111,6 +127,12 @@ def _device_multiplex(
         os.environ.get("PW_DEVICE_TABLE_BUDGET_GB", "4")
     ) * 1e9
 
+    # Shadow mode: lanes are duplicates of host-owned instances — no
+    # work-stealing registration (hosts already own everything); the
+    # "stolen" set carries instances RESOLVED elsewhere, whose lanes are
+    # dropped at the next chunk boundary.
+    shadow = bool(coordination.get("shadow", False)) if coordination else False
+
     # Group by (shape profile, RGD depth, packed-distance-cap rung): lanes
     # of a group share one compiled program; waves bound the resident
     # per-lane device memory.
@@ -134,12 +156,18 @@ def _device_multiplex(
             (name, p, cp)
         )
 
+    allow_deep = os.environ.get("PW_DEVICE_DEEP") == "1"
     for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
-        if coordination is not None and (depth > 0 or dflat > (1 << 20)):
+        if (
+            coordination is not None
+            and not allow_deep
+            and (depth > 0 or dflat > (1 << 20))
+        ):
             # Deep-RGD / huge-distance-table groups compile their own
             # (slow, rarely reused) programs and are exactly the instances
-            # the native planner handles better: leave them registered for
-            # host stealing instead of paying the compile.
+            # the native planner handles better: skip them (claim mode
+            # leaves them registered for host stealing; shadow mode never
+            # took them from the hosts in the first place).
             continue
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
@@ -199,6 +227,7 @@ def _device_multiplex(
                     history_capacity=history_capacity,
                     max_depth=depth,
                     use_novelty=(mode == "N+RGD"),
+                    lazy=True,  # parent-evaluated RGD: 4x fewer gathers
                 )
                 lanes.append(
                     {
@@ -211,14 +240,19 @@ def _device_multiplex(
                         "deadline": None,
                     }
                 )
-                if coordination is not None:
+                if coordination is not None and not shadow:
                     # Register BEFORE the group's warm-up compile: XLA
                     # compiles take minutes on this toolchain, and idle
                     # host workers must be able to steal queued lanes
                     # during them (deadline None = the stealer gets the
-                    # full per-puzzle budget).
+                    # full per-puzzle budget).  Keep the CLAIM-time
+                    # timestamp if the lane is already registered so the
+                    # steal-grace clock measures time since the claim
+                    # uniformly across a group's lanes.
                     with coordination["lock"]:
-                        coordination["lanes"][name] = (p, None, time.monotonic())
+                        prev = coordination["lanes"].get(name)
+                        ts = prev[2] if prev is not None else time.monotonic()
+                        coordination["lanes"][name] = (p, None, ts)
 
             if lanes:
                 # Warm the group's SHARED compiled program before any lane's
@@ -260,7 +294,7 @@ def _device_multiplex(
                             if time_limit is None
                             else lane["t0"] + time_limit
                         )
-                        if coordination is not None:
+                        if coordination is not None and not shadow:
                             with coordination["lock"]:
                                 coordination["lanes"][lane["name"]] = (
                                     lane["puzzle"],
@@ -331,6 +365,8 @@ def plan_puzzles_fleet(
     group_size: int = 16,
     device_claim_delay: float = 2.0,
     progress: bool = False,
+    results_out: Optional[Dict[str, PlanResult]] = None,
+    device_mode: Optional[str] = None,
     **group_kwargs,
 ) -> Dict[str, PlanResult]:
     """Solves a set of puzzles with the heterogeneous fleet.
@@ -377,33 +413,67 @@ def plan_puzzles_fleet(
         native_ok = False
 
     use_device = bool(device_worker)
-    if device_worker != "force":
+    if device_mode is None:
+        device_mode = DEVICE_MODE
+    if device_mode == "off":
+        use_device = False
+    if use_device and device_worker != "force":
         import jax
 
         use_device = use_device and (
             jax.default_backend() != "cpu" or not native_ok
         )
+    shadow = use_device and device_mode == "shadow"
+    _device_stats["mode"] = device_mode if use_device else "off"
 
-    results: Dict[str, PlanResult] = {}
+    # ``results_out`` lets callers observe partial results while the fleet
+    # runs (bench.py's watchdog prints them if the driver budget expires).
+    results: Dict[str, PlanResult] = (
+        results_out if results_out is not None else {}
+    )
     lock = threading.Lock()
     dq: deque = deque(named_puzzles)
     # Host workers keep at least this many instances for themselves; the
-    # device claims groups beyond the reserve.
+    # device claims groups beyond the reserve (claim mode only).
     reserve = 2 * native_workers if native_ok else 0
-    # Work-stealing channel: the device registers active lanes; host
-    # workers that run out of queued work steal them back and finish them
-    # natively within the lane's remaining budget (the round-2 failure
-    # mode was the inverse — the device holding hard lanes to their
-    # deadlines while host workers idle-joined).
-    # "pending" counts instances the device has claimed but not resolved —
-    # host workers only exit when the queue is empty AND nothing is pending.
-    coordination = {"lock": lock, "lanes": {}, "stolen": set(), "pending": 0}
+    # Coordination channel.  Claim mode: the device registers active lanes
+    # and idle host workers steal them back (the round-2 failure mode was
+    # the device holding hard lanes to their deadlines while hosts
+    # idle-joined); "pending" counts device-claimed unresolved instances.
+    # Both modes: "stolen" carries instances resolved (solved) elsewhere —
+    # device lanes for them are dropped at the next chunk boundary.
+    # Shadow mode adds "started" (instances a host began) so the device
+    # prioritizes work hosts have not reached yet.
+    coordination = {
+        "lock": lock,
+        "lanes": {},
+        "stolen": set(),
+        "pending": 0,
+        "shadow": shadow,
+        "started": set(),
+    }
+    # Cooperative cancel flags: the moment an instance is SOLVED anywhere,
+    # its flag releases any host worker still grinding on it (checked in
+    # the native search loop every 256 expansions).
+    cancels: Dict[str, "np.ndarray"] = {
+        name: np.zeros(1, np.int32) for name, _ in named_puzzles
+    }
 
     def record(name: str, r: PlanResult) -> None:
         with lock:
-            if name in results:
-                return  # first result wins (steal races are benign)
+            prev = results.get(name)
+            if prev is not None and (
+                prev.failure_reason is None or r.failure_reason is not None
+            ):
+                # Keep an existing success; never downgrade a success to a
+                # failure.  (A failure may be UPGRADED by a later success:
+                # in shadow mode the device keeps attacking instances the
+                # hosts already missed.)
+                return
             results[name] = r
+            if r.failure_reason is None:
+                coordination["stolen"].add(name)
+                cancels[name][0] = 1
         if progress:
             status = "ok" if r.failure_reason is None else r.failure_reason
             print(f"  {name}: {status} ({r.planning_time:.2f}s)", flush=True)
@@ -413,8 +483,15 @@ def plan_puzzles_fleet(
             budget = time_limit
             name = None
             with lock:
-                if dq:
-                    name, puzzle = dq.popleft()
+                while dq:
+                    cand, puzzle = dq.popleft()
+                    if cand in coordination["stolen"]:
+                        continue  # already SOLVED by the shadow device
+                    name = cand
+                    coordination["started"].add(name)
+                    break
+                if name is not None:
+                    pass
                 elif use_device and coordination["lanes"]:
                     # Steal an unfinished device lane: finish it natively
                     # within its remaining budget.  Unstarted lanes
@@ -450,7 +527,8 @@ def plan_puzzles_fleet(
             t0 = time.monotonic()
             try:
                 plan = bridge.solve_native_staged(
-                    puzzle, mode=mode, time_limit=budget
+                    puzzle, mode=mode, time_limit=budget,
+                    cancel=cancels.get(name),
                 )
                 r = _classify(puzzle, plan, time.monotonic() - t0)
                 r.solver = "native"
@@ -481,13 +559,73 @@ def plan_puzzles_fleet(
             except TimeoutError:
                 record(name, PlanResult(None, time.monotonic() - t0, "time limit"))
 
+    def device_shadow_loop() -> None:
+        # SHADOW mode: the device duplicates host-owned instances instead
+        # of claiming them — the fleet can never solve fewer than
+        # host-only, and every device SUCCESS releases host time (queue
+        # skip + cooperative cancel).  Wave targets alternate between the
+        # easy tail (quick wins the smoke runs prove the chip finishes;
+        # solving them before hosts reach them shortens the wall) and the
+        # hard head (capacity-heavy parallel attempts on the instances
+        # hosts burn full budget on — where a device solve ADDS one).
+        # New waves are claimed only while the host queue is nonempty, so
+        # the device tail never extends the fleet wall by more than about
+        # one lane budget.
+        start = time.monotonic()
+        shadowed = set()
+        prefer_tail = True
+        while True:
+            if time.monotonic() - start < device_claim_delay:
+                time.sleep(0.05)
+                continue
+            with lock:
+                queued = list(dq)
+                if not queued:
+                    return
+                resolved = coordination["stolen"]
+                started = coordination["started"]
+                fresh = [
+                    it for it in queued
+                    if it[0] not in resolved
+                    and it[0] not in shadowed
+                    and it[0] not in started
+                ]
+                if not fresh:
+                    return
+                ordered = fresh[::-1] if prefer_tail else fresh
+                group = ordered[:group_size]
+                for g_name, _ in group:
+                    shadowed.add(g_name)
+            prefer_tail = not prefer_tail
+            try:
+                for name, r in _device_multiplex(
+                    group, mode=mode, time_limit=time_limit,
+                    coordination=coordination, **group_kwargs
+                ):
+                    if r.failure_reason is None:
+                        record(name, r)
+                    # Device failures are NOT recorded in shadow mode: the
+                    # host attempt is authoritative for failure taxonomy.
+            except Exception as e:
+                import traceback
+
+                print(
+                    f"[fleet] shadow device worker failed "
+                    f"({type(e).__name__}: {e}); hosts still own every "
+                    f"instance — no work lost",
+                    flush=True,
+                )
+                traceback.print_exc()
+                return
+
     def device_loop() -> None:
-        # Multiplexes SINGLE-LANE batched searches over the chip: one chip
-        # runs one program at a time, so a stacked (vmapped) multi-lane
-        # program buys no parallelism there and its compile is pathological
-        # on the axon toolchain (measured: >9 min for 4 lanes vs ~1 min
-        # single-lane, which the persistent cache already holds from the
-        # per-puzzle planner path).  The vmapped group program
+        # CLAIM mode (PW_DEVICE_MODE=claim): multiplexes SINGLE-LANE
+        # batched searches over the chip: one chip runs one program at a
+        # time, so a stacked (vmapped) multi-lane program buys no
+        # parallelism there and its compile is pathological on the axon
+        # toolchain (measured: >9 min for 4 lanes vs ~1 min single-lane,
+        # which the persistent cache already holds from the per-puzzle
+        # planner path).  The vmapped group program
         # (parallel.sharded.solve_group) remains the multi-DEVICE path.
         start = time.monotonic()
         while True:
@@ -554,15 +692,24 @@ def plan_puzzles_fleet(
     else:
         threads.append(threading.Thread(target=host_fallback_loop, daemon=True))
     if use_device:
-        threads.append(threading.Thread(target=device_loop, daemon=True))
+        threads.append(
+            threading.Thread(
+                target=device_shadow_loop if shadow else device_loop,
+                daemon=True,
+            )
+        )
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     # Anything still queued (device gave a group back after host workers
-    # exited) is finished here on the main thread.
+    # exited, or no host workers ran at all) is finished here on the main
+    # thread; instances already solved elsewhere are skipped.
     while dq:
         name, puzzle = dq.popleft()
+        with lock:
+            if name in coordination["stolen"]:
+                continue
         t0 = time.monotonic()
         try:
             if native_ok:

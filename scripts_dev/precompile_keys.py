@@ -67,6 +67,7 @@ for key, (name, p, cp) in reps.items():
     pl = BatchedPlanner(
         p, cp=cp, tables=tables, expand=256, frontier_capacity=1 << 15,
         visited_bits=21, history_capacity=1 << 21, max_depth=depth,
+        lazy=os.environ.get("PW_LAZY", "1") == "1",  # match fleet device path
     )
     # BOTH chunk sizes the fleet dispatches: 1 (group warm-up) and the
     # production CHUNK — each static chunk value is its own program.

@@ -86,9 +86,15 @@ def test_batched_novelty_matches_host_sequential():
             dev, jnp.asarray(state)[None], jnp.asarray(moved)[None],
             jnp.ones((1,), bool),
         )
-        # Hashed pair table can only raise 2 -> 3, never lower values.
+        # Hash collisions perturb pair novelty in BOTH directions (table-
+        # side collisions raise 2 -> 3; a moved/unmoved query-side bucket
+        # collision can lower 3 -> 2 — see ops/novelty.py docstring).
+        # Novelty 1 uses an exact dense table, so it never drifts.
         g = float(np.asarray(got)[0])
-        assert g == expected or (expected == 2.0 and g == 3.0), (step_i, expected, g)
+        if expected == 1.0:
+            assert g == 1.0, (step_i, expected, g)
+        else:
+            assert g in (2.0, 3.0), (step_i, expected, g)
         prev = state
 
 
@@ -129,6 +135,46 @@ def test_batched_solve_fixtures(puzzles_dir, name, depth):
     )
     assert plan is not None, name
     assert p.is_valid_plan(plan) or (p.is_goal_state(p.initial_state) and plan == []), name
+
+
+@pytest.mark.parametrize(
+    "name", ["chain", "multi_goal", "heur/two_tools", "heur/easy_search"]
+)
+def test_batched_solve_lazy_fixtures(puzzles_dir, name):
+    # Lazy RGD (parent-evaluated, children inherit) must stay complete and
+    # emit valid plans; it only changes search ORDER.
+    from pushworld_tpu.search.batched import solve_batched
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+    plan = solve_batched(
+        p,
+        expand=32,
+        frontier_capacity=1 << 10,
+        visited_bits=14,
+        history_capacity=1 << 14,
+        time_limit=120,
+        lazy=True,
+    )
+    assert plan is not None, name
+    assert p.is_valid_plan(plan) or (p.is_goal_state(p.initial_state) and plan == []), name
+
+
+def test_batched_no_solution_lazy(puzzles_dir):
+    from pushworld_tpu.search.batched import solve_batched
+
+    p = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    assert (
+        solve_batched(
+            p,
+            expand=16,
+            frontier_capacity=1 << 8,
+            visited_bits=12,
+            history_capacity=1 << 12,
+            time_limit=120,
+            lazy=True,
+        )
+        is None
+    )
 
 
 def test_batched_no_solution(puzzles_dir):

@@ -128,3 +128,26 @@ def test_staged_budget_exhaustion_raises(puzzles_dir):
     p = Puzzle.from_file(os.path.join(puzzles_dir, "heur/two_tools.pwp"))
     with pytest.raises(TimeoutError):
         solve_native_staged(p, time_limit=1e-4)
+
+
+@pytest.mark.parametrize(
+    "queue",
+    ["lifo", "fifo", "lifo+lazy", "lifo+pref", "lifo+eps", "lifo+pref+eps",
+     "fifo+pref"],
+)
+def test_native_queue_disciplines_valid_and_complete(puzzles_dir, queue):
+    # Every (non-prune) discipline must emit VALID plans on solvable
+    # fixtures and remain COMPLETE (an exhausted frontier proves no
+    # solution) — pref only reorders via a dual queue and eps only
+    # perturbs pop order; neither prunes.
+    for name in ["chain", "multi_goal", "heur/two_tools"]:
+        p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+        plan = native.solve_native(
+            p, mode="N+RGD", max_expansions=500000, queue=queue
+        )
+        assert plan is not None, (name, queue)
+        assert p.is_valid_plan(plan) or (
+            p.is_goal_state(p.initial_state) and plan == []
+        ), (name, queue)
+    ns = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    assert native.solve_native(ns, max_expansions=500000, queue=queue) is None
