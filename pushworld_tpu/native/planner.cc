@@ -32,6 +32,7 @@ constexpr float kInf = std::numeric_limits<float>::infinity();
 constexpr int kNumActions = 4;
 const int kDx[4] = {-1, 1, 0, 0};
 const int kDy[4] = {0, 0, -1, 1};
+using Clock = std::chrono::steady_clock;
 
 struct Contact {
   int16_t rx;
@@ -252,6 +253,32 @@ struct RGD {
   std::unordered_map<PCKey, std::vector<std::pair<int, float>>, PCKeyHash>
       pc_cache;
 
+  // Budget enforcement INSIDE the recursion: a single fewest-tools
+  // estimate on a many-movable state with an unreachable goal explodes
+  // combinatorially (the depth loop reaches n-2 and the skip-set
+  // branching is uncached), and the search loop's every-256-expansions
+  // deadline check never runs during it — measured 500+ s on a 60 s
+  // budget (level2/Pinata) before this guard.  The reference planner has
+  // the identical structure and the identical pathology
+  // (recursive_graph_distance.cc:101-174); aborting mid-estimate only
+  // ends the attempt with budget-exhausted, never changes a returned
+  // plan.
+  Clock::time_point deadline{};
+  bool has_deadline = false;
+  const volatile int32_t* cancel = nullptr;
+  int64_t probes = 0;
+  bool expired = false;
+  bool cancelled = false;
+
+  inline bool out_of_budget() {
+    if (expired) return true;
+    if ((++probes & 0xFFF) == 0) {
+      if (cancel && *cancel) { expired = cancelled = true; return true; }
+      if (has_deadline && Clock::now() > deadline) { expired = true; return true; }
+    }
+    return false;
+  }
+
   explicit RGD(const Puzzle& p) : pz(&p), graphs(build_graphs(p)) {
     dists.reserve(p.n);
     for (int o = 0; o < p.n; o++) dists.push_back(Distances{&graphs, o, {}});
@@ -314,6 +341,7 @@ struct RGD {
                                uint32_t skipped, int depth, float bound,
                                int* agent_pn = nullptr) {
     float min_cost = bound;
+    if (out_of_budget()) return min_cost;
     skipped |= (1u << o);
     const int start = depth == 0 ? 0 : 1;
     const int end = depth == 0 ? 1 : pz->n;
@@ -670,6 +698,11 @@ static int64_t pw_solve_impl(
   if (is_goal(pz.init_state.data())) { if (out_expansions) *out_expansions = 0; return 0; }
 
   RGD rgd(pz);
+  if (time_limit > 0) {
+    rgd.deadline = deadline;
+    rgd.has_deadline = true;
+  }
+  rgd.cancel = cancel;
   Novelty novelty(n);
 
   // Node arena: states (n ints each) + parent/action/moved records.
@@ -759,6 +792,10 @@ static int64_t pw_solve_impl(
 
   while (frontier.count + pref_queue.count > 0) {
     if (max_expansions > 0 && expansions >= max_expansions) return finish(-2);
+    // An estimate that ran out of budget mid-recursion (see
+    // RGD::out_of_budget) unwound early; its value is unusable and the
+    // attempt is over.
+    if (rgd.expired) return finish(rgd.cancelled ? -7 : -2);
     if ((expansions & 0xFF) == 0) {
       // Cooperative cancellation (fleet: another solver already resolved
       // this instance) — checked on the same cadence as the deadline.

@@ -574,10 +574,56 @@ def plan_puzzles_fleet(
         start = time.monotonic()
         shadowed = set()
         prefer_tail = True
+        # Opt-in level4 path: ONE puzzle's frontier sharded over the local
+        # device mesh (parallel.frontier_sharded; single-chip mesh today,
+        # n-chip when available).  Attempted once per big-profile instance,
+        # interleaved with the multiplex waves.
+        sharded_enabled = os.environ.get("PW_DEVICE_SHARDED", "0") == "1"
+        sharded_tried = set()
         while True:
             if time.monotonic() - start < device_claim_delay:
                 time.sleep(0.05)
                 continue
+            if sharded_enabled:
+                with lock:
+                    big = next(
+                        (
+                            it for it in list(dq)
+                            if it[1].num_movables > 8
+                            and it[0] not in coordination["stolen"]
+                            and it[0] not in sharded_tried
+                        ),
+                        None,
+                    )
+                if big is not None:
+                    sharded_tried.add(big[0])
+                    shadowed.add(big[0])
+                    from pushworld_tpu.parallel.frontier_sharded import (
+                        solve_frontier_sharded,
+                    )
+                    from pushworld_tpu.parallel.mesh import make_mesh
+
+                    t0 = time.monotonic()
+                    try:
+                        plan = solve_frontier_sharded(
+                            big[1], mesh=make_mesh(), time_limit=time_limit,
+                            expand=256, frontier_capacity=1 << 15,
+                            visited_bits=21, history_capacity=1 << 21,
+                        )
+                        if plan is not None:
+                            r = _classify(big[1], plan, time.monotonic() - t0)
+                            r.solver = "device-sharded"
+                            if r.failure_reason is None:
+                                record(big[0], r)
+                    except TimeoutError:
+                        pass
+                    except Exception as e:
+                        print(
+                            f"[fleet] sharded level4 path failed on "
+                            f"{big[0]} ({type(e).__name__}: {e})",
+                            flush=True,
+                        )
+                    continue
             with lock:
                 queued = list(dq)
                 if not queued:

@@ -151,3 +151,27 @@ def test_native_queue_disciplines_valid_and_complete(puzzles_dir, queue):
         ), (name, queue)
     ns = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
     assert native.solve_native(ns, max_expansions=500000, queue=queue) is None
+
+
+def test_native_deadline_honored_during_rgd_explosion():
+    # level2/Pinata reaches states whose fewest-tools estimate explodes
+    # combinatorially (10 movables, unreachable-goal depth ladder); the
+    # in-recursion budget guard must end the attempt near the deadline
+    # (round-3 data shows 507 s spent against a 60 s budget before the
+    # guard existed).
+    import time as _time
+
+    from pushworld_tpu import config
+    from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
+
+    root = os.path.join(config.BENCHMARK_PUZZLES_PATH, "level2")
+    if not os.path.isdir(root):
+        pytest.skip("benchmark dataset unavailable")
+    paths = get_puzzle_file_paths(root)
+    if "Pinata" not in paths:
+        pytest.skip("instance unavailable")
+    p = Puzzle.from_file(paths["Pinata"])
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError):
+        native.solve_native(p, mode="N+RGD", time_limit=3.0)
+    assert _time.monotonic() - t0 < 10.0
