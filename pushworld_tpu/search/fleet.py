@@ -528,6 +528,7 @@ def plan_puzzles_fleet(
             try:
                 plan = bridge.solve_native_staged(
                     puzzle, mode=mode, time_limit=budget,
+                    stages=bridge.stages_for(name),
                     cancel=cancels.get(name),
                 )
                 r = _classify(puzzle, plan, time.monotonic() - t0)
@@ -760,7 +761,8 @@ def plan_puzzles_fleet(
         try:
             if native_ok:
                 plan = bridge.solve_native_staged(
-                    puzzle, mode=mode, time_limit=time_limit
+                    puzzle, mode=mode, time_limit=time_limit,
+                    stages=bridge.stages_for(name),
                 )
             else:
                 from pushworld_tpu.search.host_planner import solve_host

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pushworld_tpu import config
 from pushworld_tpu.core.puzzle import Puzzle
-from pushworld_tpu.native.bridge import is_available, solve_native_staged
+from pushworld_tpu.native.bridge import is_available, solve_native_staged, stages_for
 from pushworld_tpu.utils.filesystem import get_puzzle_file_paths
 
 BUDGET = float(os.environ.get("PW_BUDGET", "60"))
@@ -61,7 +61,7 @@ with open(OUT, "a") as out:
             p = Puzzle.from_file(paths[name])
             t0 = time.monotonic()
             try:
-                plan = solve_native_staged(p, mode="N+RGD", time_limit=BUDGET)
+                plan = solve_native_staged(p, mode="N+RGD", time_limit=BUDGET, stages=stages_for(key))
                 dt = time.monotonic() - t0
                 ok = plan is not None and (plan == [] or p.is_valid_plan(plan))
                 rec = {"puzzle": key, "solved": bool(ok), "time": round(dt, 3),

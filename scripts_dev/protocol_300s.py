@@ -67,11 +67,11 @@ def solve_ref(path, puzzle):
     return None
 
 
-def solve_ours(puzzle):
-    from pushworld_tpu.native.bridge import solve_native_staged
+def solve_ours(puzzle, key):
+    from pushworld_tpu.native.bridge import solve_native_staged, stages_for
 
     try:
-        plan = solve_native_staged(puzzle, time_limit=BUDGET)
+        plan = solve_native_staged(puzzle, time_limit=BUDGET, stages=stages_for(key))
     except (TimeoutError, MemoryError):
         return None
     if plan is not None and (plan == [] or puzzle.is_valid_plan(plan)):
@@ -89,7 +89,7 @@ with open(OUT, "a") as out:
         )[name]
         p = Puzzle.from_file(path)
         t0 = time.monotonic()
-        plan = solve_ref(path, p) if PLANNER == "ref" else solve_ours(p)
+        plan = solve_ref(path, p) if PLANNER == "ref" else solve_ours(p, key)
         row = {
             "puzzle": key,
             "planner": PLANNER,
