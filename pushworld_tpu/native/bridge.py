@@ -188,19 +188,20 @@ def solve_native(
 # the slowest instance each stage must cover (>= 1.1x where the cover is
 # a singleton with round-3 in-schedule history).
 STAGES_DEFAULT = (
-    ("N+RGD", "lifo", 0, 0.13),
+    ("N+RGD", "lifo", 0, 0.12),
     ("N+RGD", "fifo+pref", 0, 0.07),
-    ("N+RGD", "lifo+pref+eps", 0, 0.04),
-    ("N+RGD", "lifo+pref+eps", 1, 0.04),
     ("N+RGD", "lifo+pref", 0, 0.10),
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("RGD", "lifo+pref", 0, 0.06),
-    ("N+RGD", "fifo", 3, 0.12),
-    ("N+RGD", "lifo", 2, 0.11),
+    ("N+RGD", "fifo", 3, 0.11),
+    ("N+RGD", "lifo", 2, 0.12),
     ("N+RGD", "lifo+lazy", 0, 0.04),
     ("RGD", "lifo", 0, 0.12),
-    ("N+RGD", "lifo", 1, 0.06),
-    ("N+RGD", "lifo+eps", 1, 0.02),
+    # Absorber: pref+eps seed0's wins range from instant (Poke Around
+    # 0.9 s, Plug Obstacle 0.2 s) to the slowest covered instance of the
+    # whole tier (Precision Tooling, 8.4 s measured solo) — it takes all
+    # remaining wall (~10 s at the 60 s protocol).
+    ("N+RGD", "lifo+pref+eps", 0, 0.17),
 )
 
 # Easy tier (benchmark level1/level2): drops the hard tier's singleton
