@@ -156,18 +156,24 @@ def _device_multiplex(
             (name, p, cp)
         )
 
-    allow_deep = os.environ.get("PW_DEVICE_DEEP") == "1"
+    # Deep-RGD / huge-distance-table groups compile their own programs
+    # and carry chip-crash risk (one kernel fault observed on a big
+    # depth-1 group, scripts_dev/device_misses_r4.log).  In SHADOW mode a
+    # device crash costs nothing (hosts own every instance), and deep
+    # lanes are where the chip ADDS solves — level2/Pinata, a stable host
+    # miss, falls on-chip in ~9 s in its depth-1 group — so shadow
+    # processes them by default.  Claim mode keeps skipping them unless
+    # PW_DEVICE_DEEP=1 (the native planner handles them better and a
+    # crashed claim would strand the group until the steal grace).
+    allow_deep = shadow or os.environ.get("PW_DEVICE_DEEP") == "1"
+    if os.environ.get("PW_DEVICE_DEEP") == "0":
+        allow_deep = False
     for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
         if (
             coordination is not None
             and not allow_deep
             and (depth > 0 or dflat > (1 << 20))
         ):
-            # Deep-RGD / huge-distance-table groups compile their own
-            # (slow, rarely reused) programs and are exactly the instances
-            # the native planner handles better: skip them (claim mode
-            # leaves them registered for host stealing; shadow mode never
-            # took them from the hosts in the first place).
             continue
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
@@ -631,12 +637,26 @@ def plan_puzzles_fleet(
                     return
                 resolved = coordination["stolen"]
                 started = coordination["started"]
+                # Tail waves take easy instances hosts have NOT reached
+                # (quick substitution wins).  Head waves take the hardest
+                # unresolved instances INCLUDING ones a host is already
+                # grinding on — those are the probable misses, and a
+                # parallel device attempt with its own budget can only
+                # add (first success wins; duplicated effort only costs
+                # chip time the hosts never had).
                 fresh = [
                     it for it in queued
-                    if it[0] not in resolved
-                    and it[0] not in shadowed
-                    and it[0] not in started
+                    if it[0] not in resolved and it[0] not in shadowed
                 ]
+                if prefer_tail:
+                    fresh = [it for it in fresh if it[0] not in started]
+                else:
+                    head_started = [
+                        (n, p) for n, p in named_puzzles
+                        if n in started and n not in resolved
+                        and n not in shadowed
+                    ]
+                    fresh = head_started + fresh
                 if not fresh:
                     return
                 ordered = fresh[::-1] if prefer_tail else fresh
