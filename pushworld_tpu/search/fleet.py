@@ -81,6 +81,7 @@ def _device_multiplex(
     visited_bits: int = 21,
     history_capacity: int = 1 << 21,
     coordination: Optional[dict] = None,
+    allow_deep: Optional[bool] = None,
 ):
     """Runs one single-lane batched search per puzzle, multiplexed over the
     chip in pipelined chunks; yields (name, PlanResult) as lanes finish.
@@ -156,16 +157,17 @@ def _device_multiplex(
             (name, p, cp)
         )
 
-    # Deep-RGD / huge-distance-table groups compile their own programs
-    # and carry chip-crash risk (one kernel fault observed on a big
-    # depth-1 group, scripts_dev/device_misses_r4.log).  In SHADOW mode a
-    # device crash costs nothing (hosts own every instance), and deep
-    # lanes are where the chip ADDS solves — level2/Pinata, a stable host
-    # miss, falls on-chip in ~9 s in its depth-1 group — so shadow
-    # processes them by default.  Claim mode keeps skipping them unless
-    # PW_DEVICE_DEEP=1 (the native planner handles them better and a
-    # crashed claim would strand the group until the steal grace).
-    allow_deep = shadow or os.environ.get("PW_DEVICE_DEEP") == "1"
+    # Deep-RGD / huge-distance-table groups compile their own programs,
+    # cost seconds of host-side table build per lane, and carry
+    # chip-crash risk (one kernel fault observed on a big depth-1 group,
+    # scripts_dev/device_misses_r4.log).  They are ALSO where the chip
+    # ADDS solves: level2/Pinata, a stable host miss, falls on-chip in
+    # ~9 s in its depth-1 lane.  The shadow loop therefore enables them
+    # only for HEAD waves (the miss-attack phase, where a crash costs
+    # nothing — hosts own every instance) via ``allow_deep``; tail waves
+    # and claim mode skip them unless PW_DEVICE_DEEP=1.
+    if allow_deep is None:
+        allow_deep = os.environ.get("PW_DEVICE_DEEP") == "1"
     if os.environ.get("PW_DEVICE_DEEP") == "0":
         allow_deep = False
     for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
@@ -663,11 +665,14 @@ def plan_puzzles_fleet(
                 group = ordered[:group_size]
                 for g_name, _ in group:
                     shadowed.add(g_name)
+            was_tail_wave = prefer_tail
             prefer_tail = not prefer_tail
             try:
                 for name, r in _device_multiplex(
                     group, mode=mode, time_limit=time_limit,
-                    coordination=coordination, **group_kwargs
+                    coordination=coordination,
+                    allow_deep=not was_tail_wave,
+                    **group_kwargs
                 ):
                     if r.failure_reason is None:
                         record(name, r)
