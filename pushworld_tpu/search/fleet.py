@@ -171,12 +171,20 @@ def _device_multiplex(
     if os.environ.get("PW_DEVICE_DEEP") == "0":
         allow_deep = False
     for (prof, depth, dflat, cagent, cmax, goals), sub in groups.items():
-        if (
-            coordination is not None
-            and not allow_deep
-            and (depth > 0 or dflat > (1 << 20))
-        ):
-            continue
+        if coordination is not None and (depth > 0 or dflat > (1 << 20)):
+            if not allow_deep:
+                continue
+            if os.environ.get("PW_DEVICE_DEEP") != "1":
+                # Measured yield of deep lanes (device_misses_r4_60s.jsonl):
+                # level2 1/3 solved (Pinata, a stable host miss), level3
+                # 0/13 — each costing seconds of table build and post-host
+                # wall.  Restrict deep attacks to the tier where they pay.
+                sub = [
+                    t for t in sub
+                    if t[0].split("/", 1)[0] in ("level1", "level2")
+                ]
+                if not sub:
+                    continue
         n_pad, dim = prof[0], prof[1]
         rows = 1 if depth == 0 else n_pad
         # Per-lane footprint: EVERY RGDTables tensor (packed distances,
