@@ -269,6 +269,7 @@ def time_variant(vname: str, expand: int):
             puzzle, cp=cp, tables=tables, expand=expand,
             frontier_capacity=1 << 15, visited_bits=21,
             history_capacity=1 << 21, max_depth=depth, use_novelty=True,
+            lazy=os.environ.get("PW_LAZY", "0") == "1",
         )
         cfg = planner.config
         print(f"# [{vname} x{expand}] init_state...", flush=True)
