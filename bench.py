@@ -313,8 +313,13 @@ def main():
         time.sleep(watchdog_s)
         if emitted["done"]:
             return
+        # Snapshot first: fleet worker threads insert into this dict
+        # concurrently, and iterating a live dict can raise "dictionary
+        # changed size during iteration" — killing the watchdog exactly in
+        # the busy case it exists for.  list() is one atomic C call under
+        # the GIL.
         solved = sum(
-            1 for r in partial_results.values() if r.failure_reason is None
+            1 for r in list(partial_results.values()) if r.failure_reason is None
         )
         wall = (
             time.monotonic() - fleet_t0[0]

@@ -584,15 +584,23 @@ struct BucketQueue {
   // Greedy best-first stalls on heuristic plateaus; occasionally popping
   // an arbitrary depth/score stratum escapes them.
   int32_t pop_random(uint64_t* rng) {
-    Bucket* nonempty[4096];
-    int m = 0;
+    // Reservoir-sample a uniformly random NONEMPTY bucket in one pass —
+    // no cap, so instances whose RGD values span many buckets sample every
+    // stratum (a fixed-size candidate array would silently bias toward
+    // low-novelty/low-h buckets and weaken the plateau escape).
+    Bucket* chosen = nullptr;
+    uint64_t seen = 0;
+    auto consider = [&](Bucket& b) {
+      if (b.empty()) return;
+      seen++;
+      *rng ^= *rng << 13; *rng ^= *rng >> 7; *rng ^= *rng << 17;
+      if (*rng % seen == 0) chosen = &b;
+    };
     for (auto& tier : tiers)
-      for (auto& bucket : tier)
-        if (!bucket.empty() && m < 4096) nonempty[m++] = &bucket;
-    if (!overflow.empty() && m < 4096) nonempty[m++] = &overflow;
-    if (m == 0) return pop();  // unreachable when count > 0
-    *rng ^= *rng << 13; *rng ^= *rng >> 7; *rng ^= *rng << 17;
-    Bucket& b = *nonempty[*rng % m];
+      for (auto& bucket : tier) consider(bucket);
+    consider(overflow);
+    if (chosen == nullptr) return pop();  // unreachable when count > 0
+    Bucket& b = *chosen;
     *rng ^= *rng << 13; *rng ^= *rng >> 7; *rng ^= *rng << 17;
     const size_t span = b.v.size() - b.head;
     const size_t idx = b.head + (size_t)(*rng % span);

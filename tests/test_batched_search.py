@@ -58,6 +58,56 @@ def test_fingerprint_distinguishes_states():
 # ------------------------------------------------------------------ novelty
 
 
+def _atom_bucket(i: int, p: int, side: int) -> int:
+    """Host replica of ops.novelty._atom_hash on one (object, position) atom."""
+    mask32 = 0xFFFFFFFF
+    h = ((i * 0x9E3779B1) & mask32) ^ ((p * 0xC2B2AE3D) & mask32)
+    h = (h * 0x165667B1) & mask32
+    h = h ^ (h >> 15)
+    return h & (side - 1)
+
+
+class _FactoredNoveltyReplica:
+    """Bucket-exact host replica of the device factored-hash pair novelty.
+
+    Models the query-side semantics of ops.novelty.novelty_score_and_update
+    precisely (including both collision directions), so the differential
+    test can assert EXACT equality — a constant-3 scorer fails it.
+    Novelty 1 (dense per-object position table) is exact on both sides and
+    is replicated directly."""
+
+    def __init__(self, n, height, width, pair_bits=24):
+        self.n = n
+        self.width = width
+        self.hw = height * width
+        self.side = 1 << (pair_bits // 2)
+        self.seen_pos = set()  # (i, flat)
+        self.table = set()  # symmetric (k, l) bucket pairs
+
+    def estimate_and_update(self, state, moved):
+        flat = [
+            min(max(y * self.width + x, 0), self.hw - 1) for (x, y) in state
+        ]
+        buckets = [_atom_bucket(i, flat[i], self.side) for i in range(self.n)]
+        xb = {buckets[i] for i in range(self.n) if moved[i]}
+        yb = set(buckets)
+        nov1 = any(
+            moved[i] and (i, flat[i]) not in self.seen_pos for i in range(self.n)
+        )
+        nov2 = any(
+            (k, l) not in self.table for k in xb for l in yb if l != k
+        )
+        score = 1.0 if nov1 else (2.0 if nov2 else 3.0)
+        for i in range(self.n):
+            if moved[i]:
+                self.seen_pos.add((i, flat[i]))
+        for k in xb:
+            for l in yb:
+                self.table.add((k, l))
+                self.table.add((l, k))
+        return score
+
+
 def test_batched_novelty_matches_host_sequential():
     import jax.numpy as jnp
 
@@ -67,6 +117,7 @@ def test_batched_novelty_matches_host_sequential():
     # Batch size 1 == sequential semantics; compare against the host oracle.
     n, H, W = 3, 9, 9
     host = NoveltyHeuristic(n)
+    replica = _FactoredNoveltyReplica(n, H, W)
     dev = init_novelty(n, H, W)
     rng = np.random.RandomState(2)
     prev = np.array([[1, 1], [5, 5], [7, 7]], np.int32)
@@ -86,11 +137,16 @@ def test_batched_novelty_matches_host_sequential():
             dev, jnp.asarray(state)[None], jnp.asarray(moved)[None],
             jnp.ones((1,), bool),
         )
-        # Hash collisions perturb pair novelty in BOTH directions (table-
-        # side collisions raise 2 -> 3; a moved/unmoved query-side bucket
-        # collision can lower 3 -> 2 — see ops/novelty.py docstring).
-        # Novelty 1 uses an exact dense table, so it never drifts.
         g = float(np.asarray(got)[0])
+        # EXACT: the host replica models the factored-hash bucket semantics
+        # (both collision directions), so equality must hold on every step.
+        model = replica.estimate_and_update(
+            [tuple(p) for p in state], list(moved)
+        )
+        assert g == model, (step_i, expected, model, g)
+        # Against the reference-semantics oracle: novelty 1 is exact (dense
+        # table); pair novelty may drift only where a bucket collision
+        # actually occurred, and only in the documented directions.
         if expected == 1.0:
             assert g == 1.0, (step_i, expected, g)
         else:
