@@ -393,6 +393,9 @@ class BatchedPlanner:
         s_prev = run_chunk(self.cp, self.tables, cfg, s, chunk)
         stat_prev = search_status(s_prev)
         while True:
+            # s_prev is DONATED into s_next; every later read (solve
+            # backtrack included) must use s_next — identical contents, the
+            # post-solve chunk is a no-op.
             s_next = run_chunk(self.cp, self.tables, cfg, s_prev, chunk)
             stat_next = search_status(s_next)
             stat = np.asarray(stat_prev)  # sync point for chunk k-1
@@ -400,7 +403,7 @@ class BatchedPlanner:
                 int(stat[i]) for i in (0, 1, 2, 3, 4, 5, 7)
             )
             if solved:
-                s = s_prev
+                s = s_next
                 break
             if min_key >= EMPTY:
                 # INF-scored states are ordered last but never pruned, so
@@ -619,10 +622,18 @@ def _iterate(cp, t, cfg: SearchConfig, s: SearchState) -> SearchState:
             needs_deeper=s.needs_deeper + n_deeper,
         )
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnames=("s",))
 def run_chunk(cp, tables, cfg: SearchConfig, s: SearchState, chunk: int = 32) -> SearchState:
     """Runs up to ``chunk`` iterations (solve/exhaustion turn the remaining
     iterations into no-ops).
+
+    The carried state ``s`` is DONATED: XLA aliases the output buffers onto
+    the input's, so a deeply pipelined chunk queue (search/fleet.py keeps
+    several chunks in flight per lane) holds ONE resident SearchState per
+    lane instead of one per queued chunk (~70 MB each at the default
+    capacities).  Callers must not reuse ``s`` after passing it here — read
+    status/history from the RETURNED state (bit-identical once the chunk
+    no-ops).
 
     The trip count is FIXED: on the axon TPU platform a ``while_loop`` whose
     condition depends on carried data costs ~19 ms per iteration (vs ~10 us

@@ -193,6 +193,8 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
                     return None  # native search is complete
             fut = None
         if device_dead is None:
+            # ``s`` is DONATED into s_next (buffer aliasing); reconstruct
+            # from s_next — identical, the post-solve chunk is a no-op.
             s_next = run_chunk(planner.cp, planner.tables, cfg, s, CHUNK)
             stat_next = search_status(s_next)
             stat = _np.asarray(stat_f)  # sync point for the previous chunk
@@ -203,7 +205,7 @@ def _portfolio_solve(planner_factory, puzzle, cp, mode, time_limit):
             if debug:
                 print(f"    [chunk {chunks} iters={iters}]", flush=True)
             if solved:
-                return reconstruct_plan(s)
+                return reconstruct_plan(s_next)
             if min_key >= EMPTY:
                 device_dead = (
                     "no solution" if evictions == 0 else "inconclusive"
