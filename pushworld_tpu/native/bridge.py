@@ -103,7 +103,13 @@ def solve_native(
     preferred-operator dual queue (the child reached by the RGD argmin
     chain's first agent move is boosted 2:1 — implies lazy); adding
     "eps" makes 1/4 of pops type-based random explorations (uniform
-    nonempty bucket, then uniform element) to escape heuristic plateaus.
+    nonempty bucket, then uniform element) to escape heuristic plateaus;
+    adding "gnov" partitions the novelty tables by achieved-goal count
+    (BFWS-style novelty(#g) — progress on one goal re-opens exploration);
+    adding "la" runs greedy lookahead rollouts along the RGD argmin chain
+    (YAHSP-style descent while the estimate strictly improves — implies
+    lazy); adding "dead" hard-prunes INF-RGD states (incomplete like
+    "prune": exhaustion reports TimeoutError, never "no solution").
     Greedy best-first outcomes are ordering-sensitive and the staged
     portfolio exploits all disciplines."""
     from pushworld_tpu.core.compiled import compile_puzzle
@@ -113,7 +119,9 @@ def solve_native(
         raise RuntimeError("native planner unavailable (g++ build failed)")
     cp = compiled if compiled is not None else compile_puzzle(puzzle)
     tokens = set(queue.split("+"))
-    unknown = tokens - {"lifo", "fifo", "lazy", "prune", "pref", "eps"}
+    unknown = tokens - {
+        "lifo", "fifo", "lazy", "prune", "pref", "eps", "gnov", "la", "dead",
+    }
     if unknown:
         raise ValueError(f"unknown queue tokens: {sorted(unknown)}")
 
@@ -141,7 +149,10 @@ def solve_native(
         | (4 if "lazy" in tokens else 0)
         | (8 if "prune" in tokens else 0)
         | (16 if "pref" in tokens else 0)
-        | (32 if "eps" in tokens else 0),
+        | (32 if "eps" in tokens else 0)
+        | (64 if "gnov" in tokens else 0)
+        | (128 if "la" in tokens else 0)
+        | (256 if "dead" in tokens else 0),
         -1.0 if time_limit is None else float(time_limit),
         float(mem_limit_gb),
         int(max_expansions),

@@ -711,7 +711,6 @@ static int64_t pw_solve_impl(
     rgd.has_deadline = true;
   }
   rgd.cancel = cancel;
-  Novelty novelty(n);
 
   // Node arena: states (n ints each) + parent/action/moved records.
   std::vector<int32_t> arena;
@@ -750,19 +749,55 @@ static int64_t pw_solve_impl(
   // preferred action is computed).  Bit 5: epsilon type-based exploration
   // — 1/4 of pops take a uniformly random (bucket, element) instead of
   // the best bucket, escaping heuristic plateaus.
+  //
+  // Bit 6 ("gnov"): GOAL-PARTITIONED NOVELTY — the visited-position /
+  // visited-pair tables are kept per achieved-goal count (BFWS-style
+  // novelty(#g), Lipovetzky & Geffner): a state that re-visits positions
+  // but with more goals done counts as novel again, so multi-goal
+  // plateaus where one goal's progress erases the heuristic's guidance
+  // for the next re-open exploration.  The reference keeps ONE global
+  // table (novelty.cc:30-77).
+  // Bit 7 ("la"): GREEDY LOOKAHEAD (YAHSP-style) — after expanding a
+  // node, descend the RGD argmin chain: repeatedly apply the preferred
+  // action while the estimate strictly improves (capped), adding every
+  // rollout node to history/visited and queueing it under its OWN exact
+  // key.  Reaches deep h-descents in one expansion instead of queue
+  // round-trips.  Implies lazy.
+  // Bit 8 ("dead"): DEAD-STATE PRUNING — drop INF-RGD states entirely
+  // instead of overflow-queueing them.  INF almost always means a
+  // movable is wedged where the (over-approximate) feasible-movement
+  // graph proves the goal unreachable; the skip-set restriction of the
+  // recursion makes rare false INFs possible, so this prunes (search
+  // becomes inconclusive on exhaustion, like bit 3).
   BucketQueue frontier((use_novelty & 2) != 0);
   BucketQueue pref_queue((use_novelty & 2) != 0);
   const bool use_pref = (use_novelty & 16) != 0;
-  const bool lazy = (use_novelty & 4) != 0 || use_pref;
+  const bool use_la = (use_novelty & 128) != 0;
+  const bool lazy = (use_novelty & 4) != 0 || use_pref || use_la;
   const bool prune = (use_novelty & 8) != 0;
   const bool use_eps = (use_novelty & 32) != 0;
+  const bool use_gnov = (use_novelty & 64) != 0;
+  const bool use_dead = (use_novelty & 256) != 0;
   use_novelty &= 1;
+
+  std::vector<Novelty> novelty_parts;
+  const int nov_parts = use_gnov ? num_goals + 1 : 1;
+  novelty_parts.reserve(nov_parts);
+  for (int i = 0; i < nov_parts; i++) novelty_parts.emplace_back(n);
+  auto nov_est = [&](const int32_t* s, uint32_t mv) -> float {
+    int part = 0;
+    if (use_gnov) {
+      for (int k = 0; k < num_goals; k++)
+        if (s[k + 1] == pz.goal_pos[k]) part++;
+    }
+    return novelty_parts[part].estimate(s, mv);
+  };
 
   const int32_t root =
       add_node(pz.init_state.data(), -1, -1, (1u << n) - 1);
   visited.insert(pz.init_state.data(), root);
   if (!lazy) {
-    const float nov = novelty.estimate(pz.init_state.data(), (1u << n) - 1);
+    const float nov = nov_est(pz.init_state.data(), (1u << n) - 1);
     const float h = rgd.estimate(pz.init_state.data());
     if (use_novelty) frontier.push(root, nov, h);
     else frontier.push(root, 1.f, h);
@@ -850,10 +885,12 @@ static int64_t pw_solve_impl(
     int node_pref = -1;
     if (lazy) {
       node_nov = (use_novelty || prune)
-                     ? novelty.estimate(state, moved_masks[node])
+                     ? nov_est(state, moved_masks[node])
                      : 1.f;
       if (prune && node_nov >= 3.f && node != root) continue;
-      node_h = rgd.estimate(state, use_pref ? &node_pref : nullptr);
+      node_h = rgd.estimate(
+          state, (use_pref || use_la) ? &node_pref : nullptr);
+      if (use_dead && node_h == kInf && node != root) continue;
       if (!use_novelty) node_nov = 1.f;
     }
 
@@ -865,6 +902,8 @@ static int64_t pw_solve_impl(
     int32_t parent_state[32];
     std::memcpy(parent_state, state, n * sizeof(int32_t));
 
+    int32_t la_child = -1;  // pref child held back for the lookahead rollout
+    int32_t la_state[32];
     for (int ai = 0; ai < 4; ai++) {
       const int a = order[ai];
       uint32_t moved = 0;
@@ -887,24 +926,86 @@ static int64_t pw_solve_impl(
         return (int64_t)plan.size();
       }
       if (lazy) {
-        if (use_pref && a == node_pref)
+        if (use_la && a == node_pref) {
+          // The rollout below evaluates this child and queues it under
+          // its own exact key (every break path queues or the attempt is
+          // already over) — queueing it here too would only duplicate.
+          la_child = cidx;
+          std::memcpy(la_state, child.data(), n * sizeof(int32_t));
+        } else if (use_pref && a == node_pref) {
           pref_queue.push(cidx, node_nov, node_h);
-        else
+        } else {
           frontier.push(cidx, node_nov, node_h);
+        }
       } else {
         float nov =
-            use_novelty || prune ? novelty.estimate(child.data(), moved) : 1.f;
+            use_novelty || prune ? nov_est(child.data(), moved) : 1.f;
         if (prune && nov >= 3.f) continue;
         if (!use_novelty) nov = 1.f;
         const float h = rgd.estimate(child.data());
+        if (use_dead && h == kInf) continue;
         frontier.push(cidx, nov, h);
+      }
+    }
+
+    // Greedy lookahead (bit 7): descend the RGD argmin chain from the
+    // preferred child while the estimate strictly improves.  Every
+    // rollout node enters history + visited and is queued under its own
+    // (novelty, rgd) key — expansion of its remaining actions happens
+    // when it is popped, so completeness of the unpruned modes is kept.
+    // Reaches the bottom of long h-gradients (corridors, tool ferrying)
+    // in ONE expansion instead of one queue round-trip per step.
+    if (use_la && la_child >= 0) {
+      float prev_h = node_h;
+      int32_t cur_idx = la_child;
+      int32_t cur[32];
+      std::memcpy(cur, la_state, n * sizeof(int32_t));
+      for (int li = 0;; li++) {
+        const float nov2 = (use_novelty || prune)
+                               ? nov_est(cur, moved_masks[cur_idx])
+                               : 1.f;
+        if (prune && nov2 >= 3.f) break;  // prune mode drops non-novel
+        int pref2 = -1;
+        const float h2 = rgd.estimate(cur, &pref2);
+        if (rgd.expired) break;  // attempt over; queue entries moot
+        if (use_dead && h2 == kInf) break;
+        if (use_pref)
+          pref_queue.push(cur_idx, use_novelty ? nov2 : 1.f, h2);
+        else
+          frontier.push(cur_idx, use_novelty ? nov2 : 1.f, h2);
+        // Cap AFTER queueing: every created rollout node is queued on
+        // every exit path (else it would sit in visited, unexpandable).
+        if (li >= 96 || h2 >= prev_h || pref2 < 0) break;
+        prev_h = h2;
+        uint32_t mv = 0;
+        if (!step(pz, cur, pref2, child.data(), &mv)) break;
+        const int32_t idx = (int32_t)parents.size();
+        if (!visited.insert(child.data(), idx)) break;
+        cur_idx = add_node(child.data(), cur_idx, (int8_t)pref2, mv);
+        expansions++;
+        if (is_goal(child.data())) {
+          std::vector<int32_t> plan;
+          int32_t cur_n = cur_idx;
+          while (actions[cur_n] >= 0) {
+            plan.push_back(actions[cur_n]);
+            cur_n = parents[cur_n];
+          }
+          if ((int64_t)plan.size() > out_cap) return finish(-3);
+          for (size_t i = 0; i < plan.size(); i++)
+            out_plan[i] = plan[plan.size() - 1 - i];
+          if (out_expansions) *out_expansions = expansions;
+          return (int64_t)plan.size();
+        }
+        std::memcpy(cur, child.data(), n * sizeof(int32_t));
       }
     }
   }
   if (out_expansions) *out_expansions = expansions;
   // A pruned search that drains its frontier proved nothing about the full
   // space: report budget-class inconclusiveness, not "no solution".
-  return prune ? -2 : -1;
+  // ("prune" cuts non-novel states; "dead" cuts INF-RGD states — both make
+  // exhaustion inconclusive.  gnov/la only reorder; they stay complete.)
+  return (prune || use_dead) ? -2 : -1;
 }
 
 int64_t pw_solve(int32_t n, int32_t H, int32_t W, int32_t delta,

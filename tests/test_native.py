@@ -133,13 +133,16 @@ def test_staged_budget_exhaustion_raises(puzzles_dir):
 @pytest.mark.parametrize(
     "queue",
     ["lifo", "fifo", "lifo+lazy", "lifo+pref", "lifo+eps", "lifo+pref+eps",
-     "fifo+pref"],
+     "fifo+pref", "lifo+la", "lifo+gnov", "lifo+pref+la+eps", "fifo+la",
+     "lifo+la+gnov", "lifo+eps+gnov"],
 )
 def test_native_queue_disciplines_valid_and_complete(puzzles_dir, queue):
     # Every (non-prune) discipline must emit VALID plans on solvable
     # fixtures and remain COMPLETE (an exhausted frontier proves no
-    # solution) — pref only reorders via a dual queue and eps only
-    # perturbs pop order; neither prunes.
+    # solution) — pref only reorders via a dual queue, eps only perturbs
+    # pop order, gnov only partitions the novelty tables, and la only
+    # front-loads h-descents (every rollout node is queued for later
+    # expansion); none of them prunes.
     for name in ["chain", "multi_goal", "heur/two_tools"]:
         p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
         plan = native.solve_native(
@@ -151,6 +154,21 @@ def test_native_queue_disciplines_valid_and_complete(puzzles_dir, queue):
         ), (name, queue)
     ns = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
     assert native.solve_native(ns, max_expansions=500000, queue=queue) is None
+
+
+def test_native_dead_pruning_inconclusive_on_exhaustion(puzzles_dir):
+    # "dead" hard-prunes INF-RGD states, so draining the frontier proves
+    # nothing: exhaustion must classify as budget (TimeoutError), never as
+    # "no solution" (None) — and solvable fixtures must still solve.
+    for name in ["chain", "heur/two_tools"]:
+        p = Puzzle.from_file(os.path.join(puzzles_dir, name + ".pwp"))
+        plan = native.solve_native(
+            p, mode="N+RGD", max_expansions=500000, queue="lifo+dead"
+        )
+        assert plan is not None and p.is_valid_plan(plan), name
+    ns = Puzzle.from_file(os.path.join(puzzles_dir, "no_solution.pwp"))
+    with pytest.raises(TimeoutError):
+        native.solve_native(ns, max_expansions=500000, queue="lifo+dead")
 
 
 def test_native_deadline_honored_during_rgd_explosion():
