@@ -34,6 +34,7 @@ single-threaded serial loop, best_first_search.h:72-94); SURVEY §2e names
 cross-chip frontier sharding as a first-class new component.
 """
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -243,6 +244,30 @@ def _make_run_chunk(mesh: Mesh, cp, tables, cfg: SearchConfig, chunk: int):
     return jax.jit(lambda s: fn(cp, tables, s))
 
 
+# Epoch tag field of a virtual history id: bits 25.. hold (epoch + 1) of
+# the referenced entry, 0 = "same epoch as the referencing array" (see the
+# history-spill notes in solve_frontier_sharded).  Requires
+# n_shards * history_capacity < 2**25 and at most 62 spill epochs.
+_EPOCH_SHIFT = 25
+_EPOCH_MASK = (1 << _EPOCH_SHIFT) - 1
+
+
+@jax.jit
+def _packed_status(states: "SearchState") -> jax.Array:
+    """[any solved, global min frontier key, max hist cursor, total
+    evictions] in ONE D2H fetch (each separate scalar readback costs a
+    tunnel round-trip on axon — four per chunk dominated the round-4
+    level4 probe's wall)."""
+    return jnp.stack(
+        [
+            jnp.max(states.solved.astype(jnp.int32)),
+            jnp.min(states.frontier_h),
+            jnp.max(states.hist_cursor),
+            jnp.sum(states.evictions),
+        ]
+    )
+
+
 def solve_frontier_sharded(
     puzzle: Puzzle,
     mesh: Optional[Mesh] = None,
@@ -254,8 +279,12 @@ def solve_frontier_sharded(
     visited_bits: int = 18,
     history_capacity: int = 1 << 18,
     chunk: int = 16,
+    stats_out: Optional[dict] = None,
 ) -> Optional[List[int]]:
     """Solves ONE puzzle with its frontier sharded across ``mesh``.
+
+    ``stats_out`` (when given) receives run telemetry: spill_epochs,
+    chunks, in_budget_wall_s (measured from after the warm chunk).
 
     ``expand``/``frontier_capacity``/``visited_bits``/``history_capacity``
     are PER SHARD; the effective global expansion width is
@@ -264,6 +293,22 @@ def solve_frontier_sharded(
     ``None`` when the distributed search exhausts without evictions (a
     complete no-solution proof — routing is drop-free, see module
     docstring), and raises TimeoutError on budget exhaustion.
+
+    BUDGET DISCIPLINE (round-5): the clock starts after the first chunk
+    returns (compile excluded, the fleet's discipline), and a chunk is not
+    started unless it can finish before the deadline (estimated by the
+    previous chunk's duration) — attempts end within ~one chunk of the
+    budget instead of the round-4 probe's 2x overrun.
+
+    HISTORY SPILL (round-5): the history arena is append-only and its
+    parent refs are only ever read back on HOST (plan reconstruction), so
+    capacity exhaustion no longer ends the attempt: the full arrays are
+    snapshotted to host, live frontier refs are re-tagged with their epoch
+    (virtual id = (epoch+1) << 25 | shard * Hcap + idx; an untagged ref
+    means "same epoch as the array it was read from" — entries only
+    reference ancestors, so epochs can never increase along a walk), and
+    the device cursor resets.  The search runs until budget with a bounded
+    device arena; reconstruction walks the snapshot chain.
     """
     if mesh is None:
         from pushworld_tpu.parallel.mesh import make_mesh
@@ -343,40 +388,121 @@ def solve_frontier_sharded(
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     states = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), states)
 
+    if D * history_capacity >= (1 << _EPOCH_SHIFT):
+        raise ValueError(
+            f"n_shards * history_capacity ({D * history_capacity}) must fit "
+            f"below 2**{_EPOCH_SHIFT} for epoch-tagged history spilling"
+        )
+
     run = _make_run_chunk(mesh, cp, tables, cfg, chunk)
 
+    # Host-side spill chain: snapshots[e] = (hist_parent, hist_action)
+    # numpy copies of epoch e; the live device arrays are the current
+    # epoch len(snapshots).
+    snapshots: List[Tuple[np.ndarray, np.ndarray]] = []
+    spill_margin = 8 * expand * D  # matches the in-kernel hist_ok gate
+
+    def spill(states):
+        epoch = len(snapshots)
+        if epoch >= (1 << (31 - _EPOCH_SHIFT)) - 2:
+            raise TimeoutError("sharded history spill epochs exhausted")
+        snapshots.append(
+            (
+                np.array(np.asarray(states.hist_parent)),
+                np.array(np.asarray(states.hist_action)),
+            )
+        )
+        # Tag every still-untagged frontier ref with the epoch it belongs
+        # to (the one just snapshotted); already-tagged refs keep their
+        # older epochs.  The kernel adds me*Hcap to the ref verbatim, so
+        # (epoch+1) << 25 | local_idx flows into history parent refs as
+        # the correct virtual id.
+        fh = states.frontier_hist
+        tagged = jnp.where(
+            fh < (1 << _EPOCH_SHIFT),
+            fh | np.int32((epoch + 1) << _EPOCH_SHIFT),
+            fh,
+        )
+        return dataclasses.replace(
+            states,
+            frontier_hist=tagged,
+            # Cursor back to 1 (slot 0 stays the root/stop sentinel); old
+            # entries are overwritten as the new epoch appends — their
+            # contents live on in the snapshot.
+            hist_cursor=jnp.ones_like(states.hist_cursor),
+        )
+
+    # First chunk warms the compiled program; the budget clock starts when
+    # it returns (compiles take minutes on the axon toolchain and must not
+    # eat the puzzle's budget — same discipline as search/fleet.py).
+    states = run(states)
+    stat = [int(v) for v in np.asarray(_packed_status(states))]
     t0 = time.monotonic()
     deadline = None if time_limit is None else t0 + time_limit
-    while True:
-        states = run(states)
-        solved = np.asarray(states.solved)
-        hmin = int(np.asarray(jnp.min(states.frontier_h)))
-        if solved.any():
-            break
-        if hmin >= EMPTY:
-            if int(np.asarray(jnp.sum(states.evictions))) == 0:
-                return None
-            raise TimeoutError("sharded frontier exhausted after evictions")
-        cursors = np.asarray(states.hist_cursor)
-        if (cursors >= history_capacity - 8 * expand * D).any():
-            raise TimeoutError("sharded history capacity exhausted")
-        if deadline is not None and time.monotonic() > deadline:
-            raise TimeoutError("time budget exhausted")
+    last_dur = 0.0
+    chunks = 1
 
-    # Reconstruct across shards by global history ids.
-    hist_parent = np.asarray(states.hist_parent)  # (D, Hcap)
-    hist_action = np.asarray(states.hist_action)
+    def record_stats():
+        if stats_out is not None:
+            stats_out.update(
+                spill_epochs=len(snapshots),
+                chunks=chunks,
+                in_budget_wall_s=round(time.monotonic() - t0, 2),
+            )
+
+    try:
+        while True:
+            any_solved, hmin, cur_max, evictions = stat
+            if any_solved:
+                break
+            if hmin >= EMPTY:
+                if evictions == 0:
+                    return None
+                raise TimeoutError("sharded frontier exhausted after evictions")
+            if cur_max >= history_capacity - spill_margin:
+                states = spill(states)
+            # Start a chunk only if it can plausibly finish inside the
+            # budget (previous chunk's duration as the estimate): ends the
+            # attempt within ~one chunk of the deadline instead of
+            # overrunning.
+            if deadline is not None and time.monotonic() + last_dur > deadline:
+                raise TimeoutError("time budget exhausted")
+            c0 = time.monotonic()
+            states = run(states)
+            stat = [int(v) for v in np.asarray(_packed_status(states))]
+            last_dur = time.monotonic() - c0
+            chunks += 1
+    finally:
+        record_stats()
+
+    # Reconstruct across shards/epochs by virtual history ids.  An
+    # untagged ref means "same epoch as the array it was read from";
+    # entries only reference ancestors, so the epoch context can never
+    # increase along the walk.
+    live = (
+        np.asarray(states.hist_parent),  # (D, Hcap)
+        np.asarray(states.hist_action),
+    )
     solved_hist = np.asarray(states.solved_hist)
     gid = int(solved_hist[np.argmax(np.asarray(states.solved))])
+    # The solve always lands in the CURRENT epoch (the host breaks before
+    # any later spill), so the walk starts at the live arrays.
+    epoch_ctx = len(snapshots)
     plan: List[int] = []
     # Bounded walk: any ref corruption must fail loudly, never hang.
-    for _ in range(history_capacity * D):
-        d, idx = divmod(gid, history_capacity)
-        a = int(hist_action[d, idx])
+    for _ in range(history_capacity * D * (len(snapshots) + 1)):
+        tag = gid >> _EPOCH_SHIFT
+        if tag:
+            epoch_ctx = tag - 1
+        d, idx = divmod(gid & _EPOCH_MASK, history_capacity)
+        parent, action = (
+            live if epoch_ctx == len(snapshots) else snapshots[epoch_ctx]
+        )
+        a = int(action[d, idx])
         if a < 0:
             break
         plan.append(a)
-        gid = int(hist_parent[d, idx])
+        gid = int(parent[d, idx])
     else:
         raise RuntimeError(
             "sharded plan reconstruction exceeded history capacity "

@@ -70,6 +70,59 @@ def test_frontier_sharded_no_solution_is_complete(puzzles_dir):
     assert plan is None
 
 
+def test_frontier_sharded_history_spill_reconstructs_across_epochs(puzzles_dir):
+    """A history capacity barely above the spill margin forces spill
+    epochs; the plan must still reconstruct correctly across the host-side
+    snapshot chain (round-5: capacity exhaustion no longer ends the
+    attempt)."""
+    from pushworld_tpu.parallel.frontier_sharded import solve_frontier_sharded
+
+    puzzle = Puzzle.from_file(os.path.join(puzzles_dir, "spill_grid.pwp"))
+    stats: dict = {}
+    # margin = 8 * expand * D = 128; capacity 160 leaves only 32 usable
+    # entries per shard per epoch, so the search spills repeatedly.
+    plan = solve_frontier_sharded(
+        puzzle,
+        mesh=_mesh(4),
+        time_limit=240.0,
+        expand=4,
+        frontier_capacity=1 << 13,
+        visited_bits=14,
+        history_capacity=160,
+        chunk=4,
+        stats_out=stats,
+    )
+    assert plan is not None
+    assert puzzle.is_valid_plan(plan)
+    assert stats["spill_epochs"] >= 1, stats
+
+
+def test_frontier_sharded_spill_keeps_exhaustion_complete(puzzles_dir):
+    """With an unreachable goal and a big reachable space, the search must
+    spill repeatedly and STILL prove no-solution by eviction-free
+    exhaustion (spilling never drops states; the frontier is sized to
+    avoid evictions)."""
+    from pushworld_tpu.parallel.frontier_sharded import solve_frontier_sharded
+
+    puzzle = Puzzle.from_file(
+        os.path.join(puzzles_dir, "spill_grid_unreachable.pwp")
+    )
+    stats: dict = {}
+    plan = solve_frontier_sharded(
+        puzzle,
+        mesh=_mesh(4),
+        time_limit=240.0,
+        expand=8,
+        frontier_capacity=1 << 13,
+        visited_bits=14,
+        history_capacity=1 << 9,
+        chunk=8,
+        stats_out=stats,
+    )
+    assert plan is None
+    assert stats["spill_epochs"] >= 2, stats
+
+
 def test_frontier_sharded_matches_host_plan_length_class(puzzles_dir):
     """The distributed search's plan must drive the puzzle to its goal
     through the host oracle's dynamics step by step (not only is_valid_plan:
