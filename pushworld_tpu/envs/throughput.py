@@ -27,7 +27,7 @@ from pushworld_tpu.envs.vector_env import VectorEnv
 from pushworld_tpu.ops.render import (
     NUM_CHANNELS,
     compile_render_tables,
-    render_cells_onehot,
+    render_cells_onehot_batched,
 )
 
 # Published HBM bandwidth per chip, bytes/s (TPU v5e: 819 GB/s).
@@ -86,7 +86,10 @@ def measure_env_throughput(
             actions = jax.random.randint(step_rng, (batch_size,), 0, 4)
             env_state, next_pos, reward, _, _ = env.step(env_state, actions)
             if observations:
-                obs = jax.vmap(lambda s: render_cells_onehot(tables, s))(next_pos)
+                # Batched matmul renderer: the vmapped scatter renderer
+                # serialized per state and dominated the step (round-5
+                # rewrite; see ops/render.py).
+                obs = render_cells_onehot_batched(tables, next_pos)
                 # Full reduction: consumes every observation element so the
                 # render cannot be dead-code-eliminated.
                 acc = acc + obs.sum() + reward.sum()

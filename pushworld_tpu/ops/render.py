@@ -89,21 +89,24 @@ def render_cells_class(tables, state: jax.Array) -> jax.Array:
     mask = jnp.asarray(tables["obj_mask"])  # (N, C)
     cls = jnp.asarray(tables["obj_class"])  # (N,)
 
-    xs = state[:, None, 0] + cells[..., 0]  # (N, C)
-    ys = state[:, None, 1] + cells[..., 1]
-    xs = jnp.clip(xs, 0, W - 1)
-    ys = jnp.clip(ys, 0, H - 1)
+    # Masked (padding) cells are routed OUT OF BOUNDS so the scatter drops
+    # them (JAX's default scatter mode).  The previous where(mask, vals,
+    # grid[ys, xs]) trick wrote the OLD value at the object's own position
+    # for every masked duplicate — and scatter duplicates have no defined
+    # winner, so on puzzles with multi-cell objects the agent could vanish
+    # from the rendered grid (caught by the batched-renderer differential
+    # test).
+    xs = jnp.where(mask, state[:, None, 0] + cells[..., 0], W)  # (N, C)
+    ys = jnp.where(mask, state[:, None, 1] + cells[..., 1], H)
     vals = jnp.broadcast_to(cls[:, None], xs.shape)
     # Draw in movable order: later (higher-index) objects should not
     # overwrite the agent, so scatter-max with agent class highest is wrong;
     # instead scatter in reverse precedence: plain scatter, agent last.
     grid = base
-    grid = grid.at[ys, xs].set(jnp.where(mask, vals, grid[ys, xs]).astype(jnp.int8))
+    grid = grid.at[ys, xs].set(vals.astype(jnp.int8), mode="drop")
     # Re-draw the agent on top (matches reference draw order of movables
     # before goals but with agent first in state order).
-    grid = grid.at[ys[0], xs[0]].set(
-        jnp.where(mask[0], cls[0], grid[ys[0], xs[0]]).astype(jnp.int8)
-    )
+    grid = grid.at[ys[0], xs[0]].set(cls[0].astype(jnp.int8), mode="drop")
     return grid
 
 
@@ -119,3 +122,65 @@ def render_cells_onehot(tables, state: jax.Array) -> jax.Array:
     onehot = jax.nn.one_hot(jnp.maximum(grid.astype(jnp.int32) - 1, -1), NUM_CHANNELS)
     # class 0 (empty) maps to all-zero channels via the -1 trick above.
     return onehot
+
+
+@jax.jit
+def render_cells_onehot_batched(tables, states: jax.Array) -> jax.Array:
+    """(B, H, W, NUM_CHANNELS) float32 semantic observations for a state
+    batch (B, N, 2) — gather/scatter-free.
+
+    The scalar path (:func:`render_cells_class`) scatters each movable's
+    cells into the grid; under ``vmap`` XLA serializes those scatters per
+    state, which made the observation write the dominant term of the
+    batched env step.  Here occupancy is computed as one-hot outer-product
+    MATMULS (the same rewrite recipe as ops/novelty.py): for each dynamic
+    class c, ``occ_c = Y_c @ X`` with ``Y[b, r, y] / X[b, r, x]`` the
+    one-hot row/column indicators of every movable cell r — batched GEMMs
+    on the MXU, no memory-op serialization.  Channel semantics match the
+    scalar renderer exactly FOR VALID STATES (movable cells in bounds):
+    movables paint over agent-wall and goal base cells; walls are never
+    covered; movables never overlap each other.
+    """
+    base = jnp.asarray(tables["base"])  # (H, W) int8
+    H, W = base.shape
+    cells = jnp.asarray(tables["obj_cells"])  # (N, C, 2) int16
+    mask = jnp.asarray(tables["obj_mask"])  # (N, C)
+    cls = jnp.asarray(tables["obj_class"])  # (N,)
+    B = states.shape[0]
+    N, C = mask.shape
+    R = N * C
+
+    xs = (states[:, :, None, 0] + cells[None, :, :, 0]).reshape(B, R)
+    ys = (states[:, :, None, 1] + cells[None, :, :, 1]).reshape(B, R)
+    valid = mask.reshape(R)[None, :]  # (B, R)
+
+    # One-hot row/column indicators (out-of-range coordinates one-hot to
+    # zero, so invalid cells simply draw nothing).
+    Y = (
+        (ys[:, :, None] == jnp.arange(H, dtype=ys.dtype)[None, None, :])
+        & valid[:, :, None]
+    ).astype(jnp.bfloat16)  # (B, R, H)
+    X = (
+        xs[:, :, None] == jnp.arange(W, dtype=xs.dtype)[None, None, :]
+    ).astype(jnp.bfloat16)  # (B, R, W)
+
+    cls_r = jnp.repeat(cls, C)  # (R,)
+    occ = []
+    for c in (3, 4, 5):  # agent, goal-object, movable
+        Yc = Y * (cls_r == c).astype(jnp.bfloat16)[None, :, None]
+        cnt = jnp.einsum(
+            "brh,brw->bhw", Yc, X, preferred_element_type=jnp.float32
+        )
+        occ.append(cnt > 0.5)
+    occ_agent, occ_gobj, occ_mov = occ
+    occ_any = occ_agent | occ_gobj | occ_mov
+
+    chan = [
+        jnp.broadcast_to(base == 1, (B, H, W)),  # wall (never covered)
+        (base == 2)[None] & ~occ_any,  # agent-wall (movables paint over)
+        occ_agent,
+        occ_gobj,
+        occ_mov,
+        (base == 6)[None] & ~occ_any,  # goal cells (movables paint over)
+    ]
+    return jnp.stack(chan, axis=-1).astype(jnp.float32)

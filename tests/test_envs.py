@@ -252,3 +252,39 @@ def test_device_cell_renderer(puzzles_dir):
     g2 = np.asarray(render_cells_class(t2, jnp.asarray(cp2.init_state)))
     mx, my = p2.initial_state[2]
     assert g2[my, mx] == 5
+
+
+def test_batched_onehot_renderer_matches_scalar(puzzles_dir):
+    """The matmul-based batched renderer must agree with the scatter-based
+    scalar renderer on every reachable state it is given (differential
+    test over random rollouts, several fixtures incl. agent-wall and
+    multi-goal content)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pushworld_tpu.envs.vector_env import VectorEnv
+    from pushworld_tpu.ops.render import (
+        compile_render_tables,
+        render_cells_onehot,
+        render_cells_onehot_batched,
+    )
+
+    for name in ["multi_goal", "chain", "heur/two_tools", "agent_wall"]:
+        path = os.path.join(puzzles_dir, name + ".pwp")
+        if not os.path.exists(path):
+            continue
+        p = Puzzle.from_file(path)
+        cp = compile_puzzle(p)
+        tables = compile_render_tables(p, cp)
+        env = VectorEnv(cp, max_steps=None)
+        rng = jax.random.PRNGKey(7)
+        st = env.reset(rng, 16)
+        for i in range(5):
+            rng, k = jax.random.split(rng)
+            actions = jax.random.randint(k, (16,), 0, 4)
+            st, pos, _, _, _ = env.step(st, actions)
+            batched = np.asarray(render_cells_onehot_batched(tables, pos))
+            scalar = np.asarray(
+                jax.vmap(lambda s: render_cells_onehot(tables, s))(pos)
+            )
+            np.testing.assert_array_equal(batched, scalar, err_msg=(name, i))
