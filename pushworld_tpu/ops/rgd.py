@@ -346,17 +346,32 @@ def _agent_push_cost(t: RGDTables, states, o, a, p):
 
     o, a: static ints; p: (B, 2).
 
-    Uses the fused ``cvidx_a`` table: two gathers per (state, contact).
+    The contact-vertex lookup ``cvidx_a[a, o, p_flat]`` is computed as a
+    ONE-HOT MATMUL instead of a (B, Ca) multi-dim gather: XLA lowers such
+    table gathers at ~30 ns/element on this platform and the term
+    dominated the lazy search iteration (round-4 profile, Caged Key
+    Ca=40).  The one-hot position matrix times the f32 table is an exact
+    MXU GEMM (vertex ids < 2**15 are f32-exact).  One flat Dflat gather
+    per (state, contact) remains.
+
     The agent graph is symmetric (adjacent valid placements), so
     dist(A -> c) is read as Dflat[row A, col c]; the agent-at-contact case
     falls out of the zero diagonal (the agent's position is always inside
     its own vertex set — the initial cell is included explicitly and search
     only moves along feasible transitions).
     """
+    HW = t.width * t.height
     A_flat = _flat(t, states[:, 0, :])  # (B,)
     iA = t.vidx[0, A_flat]  # (B,)
-    p_flat = jnp.clip(_flat(t, p), 0, t.width * t.height - 1)
-    iv = t.cvidx_a[a, o, p_flat]  # (B, Ca)
+    p_flat = jnp.clip(_flat(t, p), 0, HW - 1)
+    P = (
+        p_flat[:, None] == jnp.arange(HW, dtype=p_flat.dtype)[None, :]
+    ).astype(jnp.float32)  # (B, HW) exact one-hot
+    iv_f = jnp.dot(
+        P, t.cvidx_a[a, o].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (B, Ca)
+    iv = iv_f.astype(jnp.int32)
     ok = (iv >= 0) & (iA >= 0)[:, None]
     idx = t.doff[0] + iA[:, None] * t.dstride[0] + jnp.maximum(iv, 0)
     d = t.Dflat[jnp.where(ok, idx, 0)]
@@ -439,13 +454,21 @@ def _push_cost_all_dirs_depth0(t: RGDTables, states):
     Q_flat = jnp.clip(_flat(t, states), 0, HW - 1)  # (B, N)
     # Fused table: vertex indices of every (a, pushee, contact) at each
     # pushee position; -1 where pushing is infeasible (see cvidx_a).
+    # Read via a ONE-HOT MATMUL per object (exact f32 GEMM on the MXU)
+    # instead of a (4, N, B, Ca) multi-dim gather — the same rewrite as
+    # _agent_push_cost (gathers at ~30 ns/element dominated the depth>=1
+    # inner table).
     Ca = t.cmax_agent
-    iv = t.cvidx_a[
-        np.arange(4)[:, None, None, None],
-        np.arange(N)[None, :, None, None],
-        Q_flat.T[None, :, :, None],
-        np.arange(Ca)[None, None, None, :],
-    ]  # (4, N, B, Ca)
+    P = (
+        Q_flat[:, :, None] == jnp.arange(HW, dtype=Q_flat.dtype)[None, None, :]
+    ).astype(jnp.float32)  # (B, N, HW)
+    iv_f = jnp.einsum(
+        "bnh,anhc->anbc",
+        P,
+        t.cvidx_a.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (4, N, B, Ca)
+    iv = iv_f.astype(jnp.int32)
     ok = (iv >= 0) & (iA >= 0)[None, None, :, None]
     idx = t.doff[0] + iA[None, None, :, None] * t.dstride[0] + jnp.maximum(iv, 0)
     d = t.Dflat[jnp.where(ok, idx, 0)]
