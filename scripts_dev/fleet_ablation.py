@@ -10,7 +10,9 @@ import sys
 import time
 import faulthandler
 
-faulthandler.dump_traceback_later(3200, exit=True)
+faulthandler.dump_traceback_later(
+    int(os.environ.get("PW_HANG_DUMP_S", "3200")), exit=True
+)
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
@@ -28,6 +30,7 @@ warm_transfers_async()
 
 SPEC = os.environ.get("PW_SET", "level1:12,level2:18,level3:18,level4:6")
 BUDGET = float(os.environ.get("PW_BUDGET", "20"))
+REPS = int(os.environ.get("PW_REPS", "1"))
 
 named = []
 for part in SPEC.split(","):
@@ -39,29 +42,31 @@ for part in SPEC.split(","):
 
 from pushworld_tpu.search import fleet as F
 
-for device_worker in (True, False):
-    F._reset_device_stats()
-    t0 = time.monotonic()
-    results = F.plan_puzzles_fleet(
-        list(named), time_limit=BUDGET, group_size=8, device_worker=device_worker
-    )
-    wall = time.monotonic() - t0
-    solved = sum(1 for r in results.values() if r.failure_reason is None)
-    by_solver = {}
-    for r in results.values():
-        if r.failure_reason is None:
-            by_solver[r.solver] = by_solver.get(r.solver, 0) + 1
-    print(
-        json.dumps(
-            {
-                "device_worker": device_worker,
-                "solved": solved,
-                "count": len(named),
-                "wall_s": round(wall, 1),
-                "by_solver": by_solver,
-                "device_phases": dict(F._device_stats),
-            }
-        ),
-        flush=True,
-    )
+for rep in range(REPS):
+    for device_worker in (True, False):
+        F._reset_device_stats()
+        t0 = time.monotonic()
+        results = F.plan_puzzles_fleet(
+            list(named), time_limit=BUDGET, group_size=8, device_worker=device_worker
+        )
+        wall = time.monotonic() - t0
+        solved = sum(1 for r in results.values() if r.failure_reason is None)
+        by_solver = {}
+        for r in results.values():
+            if r.failure_reason is None:
+                by_solver[r.solver] = by_solver.get(r.solver, 0) + 1
+        print(
+            json.dumps(
+                {
+                    "rep": rep,
+                    "device_worker": device_worker,
+                    "solved": solved,
+                    "count": len(named),
+                    "wall_s": round(wall, 1),
+                    "by_solver": by_solver,
+                    "device_phases": dict(F._device_stats),
+                }
+            ),
+            flush=True,
+        )
 print("DONE", flush=True)

@@ -41,6 +41,8 @@ warm_transfers_async()
 
 BUDGET = float(os.environ.get("PW_BUDGET", "120"))
 EXPAND = int(os.environ.get("PW_EXPAND", "256"))
+VISITED_BITS = int(os.environ.get("PW_VISITED_BITS", "23"))
+HISTORY = int(os.environ.get("PW_HISTORY", str(1 << 22)))
 OUT = os.environ.get("PW_OUT") or os.path.join(HERE, "sharded_level4_probe.jsonl")
 
 only = None
@@ -63,13 +65,15 @@ with open(OUT, "a") as out:
             )[name]
         )
         t0 = time.monotonic()
+        stats: dict = {}
         row = {"puzzle": key, "expand": EXPAND, "budget_s": BUDGET,
-               "n_shards": mesh.size}
+               "n_shards": mesh.size, "visited_bits": VISITED_BITS,
+               "history_capacity": HISTORY}
         try:
             plan = solve_frontier_sharded(
                 p, mesh=mesh, time_limit=BUDGET, expand=EXPAND,
-                frontier_capacity=1 << 15, visited_bits=21,
-                history_capacity=1 << 21,
+                frontier_capacity=1 << 15, visited_bits=VISITED_BITS,
+                history_capacity=HISTORY, stats_out=stats,
             )
             row["wall_s"] = round(time.monotonic() - t0, 2)
             if plan is None:
@@ -84,6 +88,7 @@ with open(OUT, "a") as out:
         except Exception as e:  # pragma: no cover
             row["wall_s"] = round(time.monotonic() - t0, 2)
             row["outcome"] = f"error: {type(e).__name__}: {e}"
+        row.update(stats)
         print(json.dumps(row), flush=True)
         out.write(json.dumps(row) + "\n")
         out.flush()
