@@ -200,19 +200,30 @@ def solve_native(
 # a singleton with round-3 in-schedule history).
 STAGES_DEFAULT = (
     ("N+RGD", "lifo", 0, 0.12),
+    # Round-5 mechanism stages (mech_sweep_12s.jsonl): four stable
+    # round-4 misses fall in seconds to the lookahead / goal-partitioned
+    # novelty disciplines — Matching Key (pref+la+eps:1, 0.26 s), Get
+    # Cozy (la:2, 0.44 s), Precision Tooling (pref+eps+gnov, 1.8 s —
+    # 4x faster than its old absorber cover), Double Key (gnov, 1.9 s).
+    ("N+RGD", "lifo+pref+la+eps", 1, 0.01),
+    ("N+RGD", "lifo+la", 2, 0.02),
+    ("N+RGD", "lifo+pref+eps+gnov", 0, 0.04),
+    ("N+RGD", "lifo+gnov", 0, 0.04),
     ("N+RGD", "fifo+pref", 0, 0.07),
     ("N+RGD", "lifo+pref", 0, 0.10),
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("RGD", "lifo+pref", 0, 0.06),
-    ("N+RGD", "fifo", 3, 0.11),
-    ("N+RGD", "lifo", 2, 0.12),
+    # fifo:3's slowest cover (Double Key 6.4 s) moved to the gnov stage;
+    # the freed budget funds the new stages (schedule_check_r5.py: +4
+    # gained, 0 lost vs the round-4 wins).
+    ("N+RGD", "fifo", 3, 0.06),
+    ("N+RGD", "lifo", 2, 0.10),
     ("N+RGD", "lifo+lazy", 0, 0.04),
-    ("RGD", "lifo", 0, 0.12),
+    ("RGD", "lifo", 0, 0.11),
     # Absorber: pref+eps seed0's wins range from instant (Poke Around
-    # 0.9 s, Plug Obstacle 0.2 s) to the slowest covered instance of the
-    # whole tier (Precision Tooling, 8.4 s measured solo) — it takes all
-    # remaining wall (~10 s at the 60 s protocol).
-    ("N+RGD", "lifo+pref+eps", 0, 0.17),
+    # 0.9 s, Plug Obstacle 0.2 s) to Extended Tool (6.3 s solo) — it
+    # takes all remaining wall (~8.4 s at the 60 s protocol).
+    ("N+RGD", "lifo+pref+eps", 0, 0.14),
 )
 
 # Easy tier (benchmark level1/level2): drops the hard tier's singleton
