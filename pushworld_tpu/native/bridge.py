@@ -199,7 +199,7 @@ def solve_native(
 # the slowest instance each stage must cover (>= 1.1x where the cover is
 # a singleton with round-3 in-schedule history).
 STAGES_DEFAULT = (
-    ("N+RGD", "lifo", 0, 0.12),
+    ("N+RGD", "lifo", 0, 0.11),
     # Round-5 mechanism stages (mech_sweep_12s.jsonl): four stable
     # round-4 misses fall in seconds to the lookahead / goal-partitioned
     # novelty disciplines — Matching Key (pref+la+eps:1, 0.26 s), Get
@@ -214,12 +214,15 @@ STAGES_DEFAULT = (
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("RGD", "lifo+pref", 0, 0.06),
     # fifo:3's slowest cover (Double Key 6.4 s) moved to the gnov stage;
-    # the freed budget funds the new stages (schedule_check_r5.py: +4
-    # gained, 0 lost vs the round-4 wins).
+    # lifo:1 re-covers Sticks And Stones (3.4 s solo under the round-5
+    # reservoir-eps binary — the advisor fix changed every eps stream's
+    # trajectory, see lost_sweep_12s.jsonl).  Validated by
+    # schedule_check_r5.py: +4 gained, 0 lost vs the round-4 wins.
     ("N+RGD", "fifo", 3, 0.06),
-    ("N+RGD", "lifo", 2, 0.10),
+    ("N+RGD", "lifo", 1, 0.08),
+    ("N+RGD", "lifo", 2, 0.08),
     ("N+RGD", "lifo+lazy", 0, 0.04),
-    ("RGD", "lifo", 0, 0.11),
+    ("RGD", "lifo", 0, 0.06),
     # Absorber: pref+eps seed0's wins range from instant (Poke Around
     # 0.9 s, Plug Obstacle 0.2 s) to Extended Tool (6.3 s solo) — it
     # takes all remaining wall (~8.4 s at the 60 s protocol).
@@ -232,13 +235,17 @@ STAGES_DEFAULT = (
 # ~10 s and whose long tail may crack further plateau-bound instances.
 STAGES_EASY = (
     ("N+RGD", "lifo", 0, 0.13),
+    # Sorting Assembly's round-4 eps cover did not survive the round-5
+    # reservoir-eps stream change; eps:2 re-covers it in 0.04 s
+    # (lost_sweep_12s.jsonl).
+    ("N+RGD", "lifo+eps", 2, 0.01),
     ("N+RGD", "fifo+pref", 0, 0.07),
     ("N+RGD", "lifo+pref+eps", 0, 0.04),
     ("N+RGD", "lifo+pref+eps", 1, 0.04),
     ("N+RGD", "lifo+pref", 0, 0.06),
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("N+RGD", "lifo", 3, 0.02),
-    ("N+RGD", "lifo+eps", 1, 0.55),
+    ("N+RGD", "lifo+eps", 1, 0.54),
 )
 
 

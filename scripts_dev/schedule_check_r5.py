@@ -45,7 +45,7 @@ R4_EASY = [
 # early (cheap covers measured in mech_sweep_12s.jsonl).  The absorber
 # keeps "all remaining wall" semantics (last stage).
 CAND_DEFAULT = [
-    ("N+RGD", "lifo", 0, 0.12),
+    ("N+RGD", "lifo", 0, 0.11),
     ("N+RGD", "lifo+pref+la+eps", 1, 0.01),
     ("N+RGD", "lifo+la", 2, 0.02),
     ("N+RGD", "lifo+pref+eps+gnov", 0, 0.04),
@@ -55,12 +55,23 @@ CAND_DEFAULT = [
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("RGD", "lifo+pref", 0, 0.06),
     ("N+RGD", "fifo", 3, 0.06),
-    ("N+RGD", "lifo", 2, 0.10),
+    ("N+RGD", "lifo", 1, 0.08),
+    ("N+RGD", "lifo", 2, 0.08),
     ("N+RGD", "lifo+lazy", 0, 0.04),
-    ("RGD", "lifo", 0, 0.11),
+    ("RGD", "lifo", 0, 0.06),
     ("N+RGD", "lifo+pref+eps", 0, 0.14),
 ]
-CAND_EASY = R4_EASY  # no easy-tier cracks in the mech sweep so far
+CAND_EASY = [
+    ("N+RGD", "lifo", 0, 0.13),
+    ("N+RGD", "lifo+eps", 2, 0.01),
+    ("N+RGD", "fifo+pref", 0, 0.07),
+    ("N+RGD", "lifo+pref+eps", 0, 0.04),
+    ("N+RGD", "lifo+pref+eps", 1, 0.04),
+    ("N+RGD", "lifo+pref", 0, 0.06),
+    ("N+RGD", "lifo+eps", 0, 0.09),
+    ("N+RGD", "lifo", 3, 0.02),
+    ("N+RGD", "lifo+eps", 1, 0.54),
+]
 
 SWEEP_FILES = [
     "prefeps_sweep_12s.jsonl",
@@ -68,6 +79,9 @@ SWEEP_FILES = [
     "style_sweep_12s.jsonl",
     "stage_sweep_10s_misses.jsonl",
     "mech_sweep_12s.jsonl",
+    "lost_sweep_12s.jsonl",
+    "lost2_sweep_12s.jsonl",
+    "lost3_sweep_12s.jsonl",
 ]
 
 
