@@ -60,6 +60,7 @@ def test_fingerprint_distinguishes_states():
 
 def _atom_bucket(i: int, p: int, side: int) -> int:
     """Host replica of ops.novelty._atom_hash on one (object, position) atom."""
+    i, p = int(i), int(p)  # numpy scalars would overflow at int32
     mask32 = 0xFFFFFFFF
     h = ((i * 0x9E3779B1) & mask32) ^ ((p * 0xC2B2AE3D) & mask32)
     h = (h * 0x165667B1) & mask32
