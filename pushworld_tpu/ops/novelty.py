@@ -39,6 +39,7 @@ lowered to a serial per-row loop that dominated the search iteration):
   whereas the reference scores strictly sequentially.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -46,6 +47,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Pair-table size knob (read once at import; a static compile-key input).
+# 24 -> 4096x4096 buckets (the shipped default; ~12% load at 10^5-state
+# searches).  22 halves the table side and cuts the two novelty GEMMs 4x
+# — measured on the device-iteration profile; collisions only perturb
+# search order (ops docstring).
+_DEFAULT_PAIR_BITS = int(os.environ.get("PW_NOVELTY_PAIR_BITS", "24"))
 
 
 @dataclass(frozen=True)
@@ -70,7 +78,9 @@ jax.tree_util.register_dataclass(
 )
 
 
-def init_novelty(n: int, height: int, width: int, pair_bits: int = 24) -> NoveltyTables:
+def init_novelty(
+    n: int, height: int, width: int, pair_bits: int = _DEFAULT_PAIR_BITS
+) -> NoveltyTables:
     side = 1 << (pair_bits // 2)
     return NoveltyTables(
         seen_pos=jnp.zeros((n, height * width), jnp.bool_),
