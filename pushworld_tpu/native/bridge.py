@@ -245,6 +245,14 @@ STAGES_EASY = (
     ("N+RGD", "lifo+pref", 0, 0.06),
     ("N+RGD", "lifo+eps", 0, 0.09),
     ("N+RGD", "lifo", 3, 0.02),
+    # Absorber: lifo+eps:1 covers Reflection (5.1 s solo) with full
+    # safety margin.  A measured alternative — pref+eps:2, which solves
+    # BOTH Reflection (29.1 s) and Simultaneous Obstacles (23.0 s) solo —
+    # was tried and REVERTED: a 60 s budget cannot hold two ~25-30 s
+    # covers in one absorber, and 29.1 s against the ~30 s effective
+    # slice violates the 1.25x safety rule (the level1+2 re-run indeed
+    # traded Reflection for Simultaneous Obstacles, net zero;
+    # l2_sweep_30s.jsonl, refl_sweep.jsonl, full_bench_r5final_l12*.jsonl).
     ("N+RGD", "lifo+eps", 1, 0.54),
 )
 
