@@ -104,13 +104,14 @@ def _device_multiplex(
     chunks are dispatched continuously (post-solve/exhaustion chunks no-op
     on device, and the chunk body self-guards history capacity, so deep
     pipelining is safe), a status program is enqueued only every
-    ``PW_DEVICE_SYNC_EVERY`` chunks (default 4), and the fetch is DEFERRED
-    one sync interval: the host reads the status dispatched a full
-    interval ago, which the chip completed long before, so the fetch costs
-    one tunnel round-trip (~25 ms) instead of blocking on compute.
-    Decisions lag up to 2 intervals (~2 x 4 chunks); wall-clock deadlines
-    are enforced host-side every pass with no device data, and a final
-    authoritative sync classifies the lane when its budget ends.
+    ``PW_DEVICE_SYNC_EVERY`` chunks (default 2), pipelines are capped at
+    two unconfirmed sync windows per lane, and a pending status is
+    fetched only once ``is_ready()`` reports it complete — the fetch then
+    costs one tunnel round-trip (~30 ms) instead of blocking on compute,
+    and the thread sleeps (yielding the core to the host planners) when
+    every lane is chip-bound.  Wall-clock deadlines are enforced
+    host-side every pass with no device data, and a final authoritative
+    sync classifies the lane when its budget ends.
     """
     import jax as _jax
     import numpy as np
